@@ -1,0 +1,48 @@
+"""lobpcg_tpu — a TPU-native LOBPCG eigensolver framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability set of
+pstuermer/LOBPCG (standard, generalized, and indefinite LOBPCG with
+Duersch-Ye robust basis selection and Kressner-Pandur-Shao indefinite
+Rayleigh-Ritz), built for TPU meshes: block-native matrix-free operators,
+fixed-shape masked soft locking, on-device projected eigensolves, and
+row-sharded operators with psum'd Gram reductions.
+"""
+
+from lobpcg_tpu.config import SolverConfig
+from lobpcg_tpu.operators.linop import (
+    BlockAntiDiagOperator,
+    BlockDiagOperator,
+    CallableOperator,
+    ComposedOperator,
+    DenseOperator,
+    DiagonalOperator,
+    JacobiPreconditioner,
+    Laplacian1D,
+    LinearOperator,
+    ScaledOperator,
+    ShiftedOperator,
+    SumOperator,
+)
+from lobpcg_tpu.solvers.lobpcg import lobpcg
+from lobpcg_tpu.solvers.state import ILOBPCGResult, LOBPCGResult
+
+__all__ = [
+    "SolverConfig",
+    "LinearOperator",
+    "DenseOperator",
+    "DiagonalOperator",
+    "JacobiPreconditioner",
+    "CallableOperator",
+    "Laplacian1D",
+    "BlockDiagOperator",
+    "BlockAntiDiagOperator",
+    "ShiftedOperator",
+    "ScaledOperator",
+    "SumOperator",
+    "ComposedOperator",
+    "lobpcg",
+    "LOBPCGResult",
+    "ILOBPCGResult",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,126 @@
+"""Solver configuration and dtype policy.
+
+Reproduces the reference's compile-time / runtime knob surface
+(`/root/reference/lobpcg.h:40-54`, per-type EPS_TOL in
+`/root/reference/src/core/lobpcg_s.c:10`, `lobpcg_d.c:9`, `lobpcg_z.c:11`,
+hard-coded constants `tol_skip=5e-3` in
+`src/rayleigh/rayleigh_ritz_modified_impl.inc:55` and
+`max_outer=max_inner=3` in `src/ortho/ortho_drop_impl.inc:70-71`)
+as a single frozen dataclass, plus explicit-PRNG reproducibility that the
+reference lacks (its `fill_random` is wall-clock seeded,
+`src/residual/estimate_norm_impl.inc:21-24`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+# Per-dtype default tolerance, mirroring the reference's EPS_TOL macro:
+# 1e-5 for single precision (f32/c32), 1e-12 for double (f64/c64).
+EPS_TOL = {
+    jnp.dtype(jnp.float32): 1e-5,
+    jnp.dtype(jnp.complex64): 1e-5,
+    jnp.dtype(jnp.float64): 1e-12,
+    jnp.dtype(jnp.complex128): 1e-12,
+}
+
+# Guard threshold used by the indefinite solver's beta ~ 0 and
+# |diag| ~ 0 checks (`src/rayleigh/indefinite_rr_impl.inc:99`), made
+# per-dtype instead of the reference's hard-coded 1e-30 (its own
+# CODE_REVIEW.md flags that constant as unreachable in f32).
+TINY = {
+    jnp.dtype(jnp.float32): 1e-20,
+    jnp.dtype(jnp.complex64): 1e-20,
+    jnp.dtype(jnp.float64): 1e-30,
+    jnp.dtype(jnp.complex128): 1e-30,
+}
+
+# Quality tolerance for the indefinite RR B-orthogonality check
+# (`src/rayleigh/indefinite_rr_modified_impl.inc:196` uses 1e-12).
+QUALITY_TOL = {
+    jnp.dtype(jnp.float32): 1e-5,
+    jnp.dtype(jnp.complex64): 1e-5,
+    jnp.dtype(jnp.float64): 1e-12,
+    jnp.dtype(jnp.complex128): 1e-12,
+}
+
+
+def real_dtype(dtype) -> jnp.dtype:
+    """Real counterpart of a (possibly complex) dtype."""
+    return jnp.dtype(jnp.zeros((), dtype).real.dtype)
+
+
+def eps_tol(dtype) -> float:
+    return EPS_TOL[jnp.dtype(dtype)]
+
+
+def tiny(dtype) -> float:
+    return TINY[jnp.dtype(dtype)]
+
+
+def quality_tol(dtype) -> float:
+    return QUALITY_TOL[jnp.dtype(dtype)]
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Static solver knobs (hashable; safe as a jit static argument).
+
+    Mirrors the runtime fields of the reference's ``*_lobpcg_t`` struct
+    (`/root/reference/lobpcg.h:40-54`) plus its hard-coded internals.
+    """
+
+    nev: int
+    size_sub: int
+    max_iter: int = 100
+    tol: float = 1e-5
+
+    # Orthogonalization tolerances; None -> per-dtype EPS_TOL.
+    eps_ortho: Optional[float] = None
+    eps_drop: Optional[float] = None
+
+    # Cholesky-path condition threshold (rcond < tol_skip => ortho retry).
+    tol_skip: float = 5e-3
+
+    # ortho_drop / ortho_indefinite loop caps.
+    max_outer: int = 3
+    max_inner: int = 3
+
+    # Power-iteration steps for operator norm estimation.
+    norm_iters: int = 10
+
+    # Projected generalized eigensolve for the indefinite pencil:
+    #   'cholesky' - KPS reduction: chol(GA) + eigh  (fully on-device)
+    #   'qz'       - scipy QZ via pure_callback      (host round-trip)
+    #   'auto'     - cholesky, QZ fallback when chol(GA) fails
+    rr_method: str = "cholesky"
+
+    # Cache AX between iterations (the reference's AX field).
+    use_ax_cache: bool = True
+
+    def __post_init__(self):
+        if self.nev > self.size_sub:
+            raise ValueError(
+                f"nev ({self.nev}) > size_sub ({self.size_sub})"
+            )
+        if self.rr_method not in ("cholesky", "qz", "auto"):
+            raise ValueError(f"unknown rr_method: {self.rr_method!r}")
+
+    def resolved_eps(self, dtype) -> tuple[float, float]:
+        e = eps_tol(dtype)
+        return (
+            self.eps_ortho if self.eps_ortho is not None else e,
+            self.eps_drop if self.eps_drop is not None else e,
+        )
+
+
+def validate_problem(n: int, config: SolverConfig) -> None:
+    """Mirror of the reference's entry validation
+    (`src/core/lobpcg_impl.inc:66-75`)."""
+    if 3 * config.size_sub > n:
+        raise ValueError(
+            f"3*size_sub ({3 * config.size_sub}) > problem size ({n})"
+        )

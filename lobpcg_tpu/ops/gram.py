@@ -1,0 +1,112 @@
+"""Gram-matrix assembly: the contraction-over-n hot spot.
+
+Reference: `src/gram/gram_impl.inc:49-105` (operator form) and
+`src/gram/gram_mat_impl.inc:33-89` (explicit dense metric form, used on
+coefficient space inside the indefinite RR).
+
+TPU design: one `jnp.matmul` per Gram — a [k, n] x [n, k] contraction that
+XLA maps straight onto the MXU.  Under row-sharding of the n axis the
+contraction lowers to a local partial product plus an all-reduce (psum)
+over the mesh, which is exactly the distributed-Gram plan of SURVEY.md
+SS2.6.  No upper/lower-triangle asymmetry: we always form the full k x k
+matrix (k <= 3*size_sub, tiny) and let `eigh`'s symmetrization handle
+round-off.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from lobpcg_tpu.operators.linop import LinearOperator
+
+
+def mm(A: jax.Array, B: jax.Array) -> jax.Array:
+    """Numerically-sensitive matmul: full-precision MXU passes.
+
+    On TPU, f32 matmuls default to bf16 MXU passes; for Gram assembly and
+    basis transforms that destroys orthogonality at operator scales like
+    1/h^2 ~ 1e6 (observed: eigenvalues 60x off on a v5e).  Precision
+    HIGHEST requests the multi-pass full-f32 product.  The operator
+    application hot path (SpMM) is NOT forced through this — operators
+    choose their own precision.
+    """
+    return jnp.matmul(
+        A, B, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=B.dtype,
+    )
+
+
+def apply_block_op(op: Optional[LinearOperator], X: jax.Array) -> jax.Array:
+    """Y = Op @ X for a whole block; identity when op is None.
+
+    Block-native replacement for the reference's per-column loop
+    (`src/gram/gram_impl.inc:29-33`).
+    """
+    if op is None:
+        return X
+    return op.matmat(X)
+
+
+def _hdot(V: jax.Array, U: jax.Array) -> jax.Array:
+    """V^H @ U with full-precision accumulation."""
+    return mm(V.conj().T, U)
+
+
+def gram_self(
+    U: jax.Array, B: Optional[LinearOperator] = None
+) -> jax.Array:
+    """G = U^H B U  (B None -> U^H U).  Reference: `gram_impl.inc:49-67`."""
+    BU = apply_block_op(B, U)
+    return _hdot(U, BU)
+
+
+def gram_cross(
+    V: jax.Array, U: jax.Array, B: Optional[LinearOperator] = None
+) -> jax.Array:
+    """G = V^H B U.  Reference: `gram_impl.inc:85-105`."""
+    BU = apply_block_op(B, U)
+    return _hdot(V, BU)
+
+
+def gram_self_mat(U: jax.Array, mat: jax.Array) -> jax.Array:
+    """G = U^H mat U with an explicit dense metric.
+    Reference: `src/gram/gram_mat_impl.inc:33-58`."""
+    return _hdot(U, mm(mat, U))
+
+
+def gram_cross_mat(V: jax.Array, U: jax.Array, mat: jax.Array) -> jax.Array:
+    """G = V^H mat U with an explicit dense metric.
+    Reference: `src/gram/gram_mat_impl.inc:64-89`."""
+    return _hdot(V, mm(mat, U))
+
+
+def frob_norm(X: jax.Array) -> jax.Array:
+    """Frobenius norm returning the real dtype."""
+    return jnp.sqrt(jnp.sum(jnp.abs(X) ** 2).real)
+
+
+def ortho_err(G: jax.Array, count=None) -> jax.Array:
+    """||G - I_sig||_F using |G_jj| - 1 on the diagonal, so it works for
+    +-1 signature diagonals.  Reference: `src/ortho/ortho_err_upper_impl.inc:2-13`
+    (upper-triangle-only there; full-matrix here — same quantity up to the
+    symmetric off-diagonal factor, and we only compare it to tolerances).
+
+    When `count` is given, dead rows/cols (index >= count) are excluded.
+    """
+    k = G.shape[0]
+    diag_err = jnp.abs(jnp.diagonal(G)) - 1.0
+    off = G - jnp.diag(jnp.diagonal(G))
+    if count is not None:
+        idx = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0]
+        live = idx < count
+        keep = live[:, None] & live[None, :]
+        off = off * keep.astype(off.dtype)
+        diag_err = jnp.where(live, diag_err, 0.0)
+    # Match the reference's upper-triangle accounting: off-diagonals of a
+    # Hermitian error matrix are counted once.
+    upper = jnp.triu(jnp.ones((k, k), dtype=bool), k=1)
+    off2 = jnp.sum((jnp.abs(off) ** 2) * upper)
+    return jnp.sqrt(off2.real + jnp.sum(diag_err**2))

@@ -1,0 +1,179 @@
+"""Rayleigh-Ritz projected eigensolves (standard family).
+
+Reference: `src/rayleigh/rayleigh_ritz_impl.inc:37-99` (initial RR) and
+`src/rayleigh/rayleigh_ritz_modified_impl.inc:42-269` (per-iteration RR
+with the Cholesky/ortho dual path, trcon condition check, and the
+Duersch Alg. 7 Cp extraction).
+
+On-device design notes:
+- Cholesky runs via `jnp.linalg.cholesky`; failure is detected by NaN
+  (XLA potrf emits NaN instead of an info code) and signalled with the
+  reference's `useOrtho = 2` retry flag.
+- The triangular condition check replaces LAPACK's `trcon` 1-norm
+  *estimator* with the exact 1-norm condition number — the matrix is a
+  tiny k x k triangle, so an exact triangular solve is cheaper on TPU
+  than a host round-trip.
+- Dead subspace coordinates (masked P/W columns, see ops.masking) carry
+  identity in the B-Gram and a large sentinel in the (transformed) A-Gram
+  so their Ritz pairs sort to the top end and never pollute the lowest nx.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from lobpcg_tpu.ops import masking
+from lobpcg_tpu.ops.gram import frob_norm, gram_self, mm
+from lobpcg_tpu.operators.linop import LinearOperator
+
+
+class RRResult(NamedTuple):
+    Cx: jax.Array  # [k, nx]
+    Cp: jax.Array  # [k, nx]
+    lam: jax.Array  # [nx] real
+    flag: jax.Array  # i32: 0/1 = ok (value of useOrtho), 2 = retry needed
+
+
+def _scale_diag(G):
+    """D_ii = 1/sqrt(|G_ii|) (guarded), Gs = D G D."""
+    rdt = jnp.zeros((), G.dtype).real.dtype
+    gd = jnp.abs(jnp.diagonal(G)).astype(rdt)
+    D = jnp.where(gd > 0, 1.0 / jnp.sqrt(jnp.where(gd > 0, gd, 1.0)), 1.0)
+    Gs = (D[:, None] * G) * D[None, :].astype(G.dtype)
+    return D, Gs
+
+
+def _dinv_r(L, D):
+    """D_inv_R = D * inv(R) with R = L^H (the reference's trsm_run step,
+    `rayleigh_ritz_impl.inc:67-75`).  Computed as (inv(L) @ diag(D))^H."""
+    k = L.shape[0]
+    rhs = jnp.diag(D).astype(L.dtype)
+    return solve_triangular(L, rhs, lower=True).conj().T
+
+
+def _rcond_upper_from_L(L):
+    """Exact 1-norm reciprocal condition of R = L^H (replaces trcon's
+    estimator, `rayleigh_ritz_modified_impl.inc:168-178`)."""
+    k = L.shape[0]
+    eye = jnp.eye(k, dtype=L.dtype)
+    Linv = solve_triangular(L, eye, lower=True)
+    # ||R||_1 = max column abs-sum of L^H = max row abs-sum of L.
+    norm_R = jnp.max(jnp.sum(jnp.abs(L), axis=1))
+    norm_Rinv = jnp.max(jnp.sum(jnp.abs(Linv), axis=1))
+    return 1.0 / (norm_R * norm_Rinv)
+
+
+def _sentinel(H, live):
+    """Inject big*I into dead coordinates; big > any live eigenvalue."""
+    big = 2.0 * frob_norm(H) + 1.0
+    return masking.inject_diag(H, live, big.astype(H.dtype))
+
+
+def _cp_extract(Z, nx: int, DiR: Optional[jax.Array]):
+    """Duersch Alg. 7: Cp = [D_inv_R] V_perp Q, Q = QR-basis of Z1_perp^T.
+
+    Z1_perp^T is the plain transpose (no conjugate — parity with the C
+    code's element copy, `rayleigh_ritz_modified_impl.inc:228-235`).
+    """
+    Zp = Z[:, nx:]  # [k, k-nx] unwanted eigenvectors
+    Z1t = jnp.swapaxes(Zp[:nx, :], 0, 1)  # [k-nx, nx]
+    Q, _ = jnp.linalg.qr(Z1t)
+    Cp = mm(Zp, Q)
+    if DiR is not None:
+        Cp = mm(DiR, Cp)
+    return Cp
+
+
+def rayleigh_ritz(
+    X: jax.Array,
+    A: LinearOperator,
+    B: Optional[LinearOperator] = None,
+):
+    """Initial RR on a full-width block: returns (Cx [m,m], lam [m]).
+
+    Reference: `rayleigh_ritz_impl.inc:37-99` — B-Gram, D-scaling,
+    Cholesky, congruence transform, eigh, back-transform.
+    """
+    G = gram_self(X, B)
+    D, Gs = _scale_diag(G)
+    L = jnp.linalg.cholesky(Gs)
+    DiR = _dinv_r(L, D)
+    Ap = gram_self(X, A)
+    T1 = mm(Ap, DiR)
+    H = mm(DiR.conj().T, T1)
+    w, V = jnp.linalg.eigh(H)
+    Cx = mm(DiR, V)
+    return Cx, w
+
+
+def _a_gram(S, AX, A, nx: int):
+    """G_A = S^H [AX | A (P|W)]; reuses the AX cache for the X block
+    (`rayleigh_ritz_modified_impl.inc:71-78, 189-196`)."""
+    if AX is None:
+        AS = A.matmat(S)
+    else:
+        APW = A.matmat(S[:, nx:])
+        AS = jnp.concatenate([AX, APW], axis=1)
+    return mm(S.conj().T, AS)
+
+
+def rayleigh_ritz_modified(
+    S: jax.Array,
+    AX: Optional[jax.Array],
+    np_act,
+    nw_act,
+    use_ortho,
+    A: LinearOperator,
+    B: Optional[LinearOperator] = None,
+    *,
+    nx: int,
+    tol_skip: float = 5e-3,
+) -> RRResult:
+    """Per-iteration RR over the masked [X|P|W] subspace.
+
+    np_act / nw_act are the live P / W column counts; X is always fully
+    live.  `use_ortho` (traced i32) selects the branch; the Cholesky
+    branch reports flag=2 when potrf fails or rcond < tol_skip, matching
+    `rayleigh_ritz_modified_impl.inc:144-178`.
+    """
+    k = S.shape[1]
+    m = nx
+    live = masking.blocks_mask((m, m, k - 2 * m), (m, np_act, nw_act))
+    S = masking.mask_cols(S, live)
+    GA = _a_gram(S, AX, A, nx)
+
+    def ortho_branch(_):
+        H = _sentinel(GA, live)
+        w, Z = jnp.linalg.eigh(H)
+        Cx = Z[:, :nx]
+        lam = w[:nx]
+        Cp = _cp_extract(Z, nx, None)
+        return RRResult(Cx, Cp, lam, jnp.int32(1))
+
+    def chol_branch(_):
+        GB = gram_self(S, B)
+        GB = masking.inject_diag(GB, live, 1.0)
+        D, Gs = _scale_diag(GB)
+        L = jnp.linalg.cholesky(Gs)
+        chol_ok = ~jnp.any(jnp.isnan(L))
+        # Guard NaNs out of the triangular solves so rcond stays finite.
+        L_safe = jnp.where(chol_ok, L, jnp.eye(k, dtype=L.dtype))
+        rcond = _rcond_upper_from_L(L_safe)
+        ok = chol_ok & (rcond >= tol_skip)
+
+        DiR = _dinv_r(L_safe, D)
+        T1 = mm(GA, DiR)
+        H = mm(DiR.conj().T, T1)
+        H = _sentinel(H, live)
+        w, Z = jnp.linalg.eigh(H)
+        Cx = mm(DiR, Z[:, :nx])
+        lam = w[:nx]
+        Cp = _cp_extract(Z, nx, DiR)
+        flag = jnp.where(ok, jnp.int32(0), jnp.int32(2))
+        return RRResult(Cx, Cp, lam, flag)
+
+    return jax.lax.cond(use_ortho >= 1, ortho_branch, chol_branch, None)

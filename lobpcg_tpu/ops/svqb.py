@@ -1,0 +1,101 @@
+"""SVQB orthonormalization (Duersch & Ye 2018, Alg. 4), fixed-shape.
+
+Reference: `src/ortho/svqb_impl.inc:48-106` (operator metric) and
+`src/ortho/svqb_mat_impl.inc:49-100` (dense metric, no dropping).
+
+TPU re-design: the Gram eigendecomposition runs on the tiny k x k matrix
+on device (`eigh`), and column dropping becomes a stable argsort
+compaction over a fixed width — the retained count travels as an i32
+scalar instead of a shrinking shape.  Dead (masked) coordinates are kept
+exactly decoupled by identity injection, so the transform is the identity
+on them and their output columns stay zero.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from lobpcg_tpu.ops import masking
+from lobpcg_tpu.ops.gram import gram_self, gram_self_mat, mm
+from lobpcg_tpu.operators.linop import LinearOperator
+
+
+def _svqb_transform(G, count, tau, drop, dtype):
+    """Shared core: from Gram matrix (live block only; dead zero) to the
+    fused transform T = D * V * D_final with drop compaction.
+
+    Returns (T [k,k], n_kept i32).
+    """
+    k = G.shape[0]
+    rdt = jnp.zeros((), dtype).real.dtype
+    G = masking.inject_diag(G, count, 1.0)
+
+    # Diagonal scaling D_ii = 1/sqrt(|G_ii|)  (svqb_impl.inc:66-70)
+    gd = jnp.abs(jnp.diagonal(G)).astype(rdt)
+    D = jnp.where(gd > 0, 1.0 / jnp.sqrt(jnp.where(gd > 0, gd, 1.0)), 1.0)
+    Gs = (D[:, None] * G) * D[None, :].astype(G.dtype)
+
+    # Eigensolve of the scaled Gram (svqb_impl.inc:78)
+    w, V = jnp.linalg.eigh(Gs)
+
+    # Sentinel eigenpairs live on dead coordinates (eigenvalue exactly 1
+    # by construction); identify by coordinate mass.
+    sent = masking.dead_mass(V, count) > 0.5
+
+    absw = jnp.abs(w)
+    live_absw = jnp.where(sent, 0.0, absw)
+    maxeig = jnp.max(live_absw)
+    thresh = tau * maxeig
+
+    if drop:
+        dropped = (absw < thresh) | sent
+    else:
+        dropped = sent
+
+    # D_final_jj = 1/sqrt(max(|lambda_j|, thresh))  (svqb_impl.inc:88-99)
+    floor = jnp.maximum(absw, jnp.maximum(thresh, jnp.finfo(rdt).tiny))
+    df = 1.0 / jnp.sqrt(floor)
+    T = (D[:, None] * V) * df[None, :].astype(V.dtype)
+
+    perm, n_kept = masking.compact_by_flag(dropped)
+    T = masking.permute_cols(T, perm)
+    T = masking.mask_cols(T, n_kept)
+    return T.astype(dtype), n_kept
+
+
+def svqb(
+    U: jax.Array,
+    count,
+    B: Optional[LinearOperator] = None,
+    *,
+    tau: float,
+    drop: bool,
+):
+    """B-orthonormalize the first `count` columns of U (SVQB).
+
+    Returns (U_new, n_kept).  Columns >= n_kept of U_new are zero.
+    When drop=False, eigenvalues are clamped at tau*max|lambda| but all
+    live columns are kept (n_kept == count).
+    """
+    U = masking.mask_cols(U, count)
+    G = gram_self(U, B)
+    T, n_kept = _svqb_transform(G, count, tau, drop, U.dtype)
+    U_new = mm(U, T)
+    return masking.mask_cols(U_new, n_kept), n_kept
+
+
+def svqb_mat(
+    U: jax.Array,
+    mat: jax.Array,
+    *,
+    tau: float,
+):
+    """SVQB against an explicit dense metric; never drops
+    (`src/ortho/svqb_mat_impl.inc:54,99`).  All columns treated live."""
+    k = U.shape[1]
+    G = gram_self_mat(U, mat)
+    T, _ = _svqb_transform(G, jnp.int32(k), tau, False, U.dtype)
+    return mm(U, T)

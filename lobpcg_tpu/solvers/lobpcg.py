@@ -1,0 +1,234 @@
+"""Standard / generalized LOBPCG driver.
+
+Reference: `src/core/lobpcg_impl.inc:60-248`.  The C driver's mutable
+state struct becomes a carried pytree in one jitted `lax.while_loop`; the
+memmove soft-locking compaction becomes column shifting with an i32
+converged count (ops.masking.shift_cols); the useOrtho=2 Cholesky-failure
+retry becomes a `lax.cond`.
+
+The whole solve — operator applications, Gram assembly, small dense
+eigensolves, projections — stays inside one XLA program: the "user
+callback boundary" of the reference is graph composition here, so XLA can
+fuse and overlap across iteration phases.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from lobpcg_tpu.config import SolverConfig, validate_problem
+from lobpcg_tpu.operators.linop import LinearOperator
+from lobpcg_tpu.ops import masking
+from lobpcg_tpu.ops.gram import mm
+from lobpcg_tpu.ops.ortho import ortho_drop
+from lobpcg_tpu.ops.rayleigh import (
+    RRResult,
+    rayleigh_ritz,
+    rayleigh_ritz_modified,
+)
+from lobpcg_tpu.ops.residual import (
+    estimate_norm,
+    get_residual,
+    get_residual_norm,
+)
+from lobpcg_tpu.solvers.state import LOBPCGResult
+from lobpcg_tpu.utils.prng import fill_random
+
+
+class _Carry(NamedTuple):
+    S: jax.Array  # [n, 3m] = [X | P | W], P/W active-prefix compacted
+    AX: jax.Array  # [n, m] cached A @ X
+    lam: jax.Array  # [m] real
+    res: jax.Array  # [nev] real
+    conv: jax.Array  # i32
+    use_ortho: jax.Array  # i32 (0 chol path, 1 ortho path; sticky)
+    it: jax.Array  # i32
+
+
+def _mm(S, C):
+    return mm(S, C)
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
+    n = A.shape[0]
+    m = config.size_sub
+    nev = config.nev
+    dtype = A.dtype
+    eps_ortho, eps_drop = config.resolved_eps(dtype)
+
+    k_a, k_b, k_x = jax.random.split(key, 3)
+    a_norm = estimate_norm(A, k_a, config.norm_iters)
+    b_norm = (
+        estimate_norm(B, k_b, config.norm_iters)
+        if B is not None
+        else jnp.ones((), a_norm.dtype)
+    )
+
+    X = fill_random(k_x, (n, m), dtype) if X0 is None else X0.astype(dtype)
+
+    # Initial Rayleigh-Ritz + projection (`lobpcg_impl.inc:99-104`).
+    Cx0, lam = rayleigh_ritz(X, A, B)
+    X = _mm(X, Cx0)
+    AX = A.matmat(X)
+    W = get_residual(X, AX, lam, A, B)
+    res = get_residual_norm(W, lam, a_norm, b_norm, nev)
+
+    S = jnp.concatenate([X, jnp.zeros((n, m), dtype), W], axis=1)
+    carry0 = _Carry(
+        S,
+        AX,
+        lam,
+        res,
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.int32(0),
+    )
+
+    def do_ortho(W, nw, S, np_act):
+        # Orthogonalize W against [X, P_active] (`lobpcg_impl.inc:158-166`).
+        V = S[:, : 2 * m]
+        return ortho_drop(
+            W,
+            nw,
+            V,
+            m + np_act,
+            B,
+            eps_ortho=eps_ortho,
+            eps_drop=eps_drop,
+            max_outer=config.max_outer,
+            max_inner=config.max_inner,
+        )
+
+    def cond(c: _Carry):
+        return (c.it < config.max_iter) & (c.conv < nev)
+
+    def body(c: _Carry):
+        it0 = c.it == 0
+        np_act = jnp.where(it0, 0, m - c.conv)
+        nw = jnp.where(it0, jnp.int32(m), m - c.conv)
+        W = c.S[:, 2 * m :]
+
+        # Preconditioner (`lobpcg_impl.inc:152-155`).
+        if T is not None:
+            W = masking.mask_cols(T.matmat(W), nw)
+
+        # Optional robust orthogonalization of W.
+        W, nw = jax.lax.cond(
+            c.use_ortho >= 1,
+            lambda args: do_ortho(*args),
+            lambda args: (args[0], args[1]),
+            (W, nw, c.S, np_act),
+        )
+        S = jnp.concatenate([c.S[:, : 2 * m], W], axis=1)
+
+        AX = c.AX if config.use_ax_cache else None
+        rr = rayleigh_ritz_modified(
+            S,
+            AX,
+            np_act,
+            nw,
+            c.use_ortho,
+            A,
+            B,
+            nx=m,
+            tol_skip=config.tol_skip,
+        )
+
+        # Cholesky/cond failure: orthogonalize W and retry with the ortho
+        # branch (`lobpcg_impl.inc:180-196`).
+        def retry(args):
+            S, W, nw = args
+            W2, nw2 = do_ortho(W, nw, S, np_act)
+            S2 = jnp.concatenate([S[:, : 2 * m], W2], axis=1)
+            rr2 = rayleigh_ritz_modified(
+                S2,
+                AX,
+                np_act,
+                nw2,
+                jnp.int32(1),
+                A,
+                B,
+                nx=m,
+                tol_skip=config.tol_skip,
+            )
+            return rr2, S2, jnp.int32(1)
+
+        def no_retry(args):
+            S, W, nw = args
+            return rr, S, jnp.maximum(c.use_ortho, rr.flag)
+
+        rr, S, use_ortho = jax.lax.cond(
+            rr.flag == 2, retry, no_retry, (S, W, nw)
+        )
+
+        # Project back [X, P] = S [Cx | Cp]  (`lobpcg_impl.inc:204-208`).
+        C = jnp.concatenate([rr.Cx, rr.Cp], axis=1)
+        XP = _mm(S, C)
+        Xn = XP[:, :m]
+        Pn = XP[:, m:]
+
+        AXn = A.matmat(Xn)
+        Wres = get_residual(Xn, AXn, rr.lam, A, B)
+        res = get_residual_norm(Wres, rr.lam, a_norm, b_norm, nev)
+        convn = masking.prefix_count(res <= config.tol)
+
+        # Soft-locking compaction for the next iteration
+        # (`lobpcg_impl.inc:139-145`, done here statelessly).
+        act = m - convn
+        Pc = masking.shift_cols(Pn, convn, act)
+        Wc = masking.shift_cols(Wres, convn, act)
+        Sn = jnp.concatenate([Xn, Pc, Wc], axis=1)
+
+        return _Carry(Sn, AXn, rr.lam, res, convn, use_ortho, c.it + 1)
+
+    cf = jax.lax.while_loop(cond, body, carry0)
+
+    return LOBPCGResult(
+        eigenvalues=cf.lam[:nev],
+        eigenvectors=cf.S[:, :nev],
+        residual_norms=cf.res,
+        converged=cf.conv,
+        iterations=cf.it,
+    )
+
+
+def lobpcg(
+    A: LinearOperator,
+    X0: Optional[jax.Array] = None,
+    B: Optional[LinearOperator] = None,
+    T: Optional[LinearOperator] = None,
+    *,
+    nev: int,
+    size_sub: Optional[int] = None,
+    tol: float = 1e-5,
+    max_iter: int = 100,
+    key: Optional[jax.Array] = None,
+    config: Optional[SolverConfig] = None,
+) -> LOBPCGResult:
+    """Solve A x = lambda B x for the nev smallest eigenpairs.
+
+    Drop-in capability match for the reference's `lobpcg()` entry point
+    (`lobpcg.h:69-75` -> `src/core/lobpcg_impl.inc:60`): B=None gives the
+    standard problem, T is an optional preconditioner, X0 an optional
+    initial guess ([n, size_sub]; first nev columns meaningful).
+    """
+    if config is None:
+        config = SolverConfig(
+            nev=nev,
+            size_sub=size_sub if size_sub is not None else nev,
+            tol=tol,
+            max_iter=max_iter,
+        )
+    validate_problem(A.shape[0], config)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if X0 is not None and X0.shape[1] != config.size_sub:
+        raise ValueError(
+            f"X0 has {X0.shape[1]} columns, expected size_sub={config.size_sub}"
+        )
+    return _lobpcg_jit(A, B, T, X0, key, config)
