@@ -23,8 +23,14 @@ from lobpcg_tpu.operators.linop import (
     ShiftedOperator,
     SumOperator,
 )
+from lobpcg_tpu.solvers.ilobpcg import ilobpcg
 from lobpcg_tpu.solvers.lobpcg import lobpcg
 from lobpcg_tpu.solvers.state import ILOBPCGResult, LOBPCGResult
+
+# The reference exposes `klobpcg` as a pure alias of the standard solver
+# (`/root/reference/lobpcg.h:561-580`; a separate klobpcg main loop was
+# planned but never built, `TODO.md:258-263`).  Same here.
+klobpcg = lobpcg
 
 __all__ = [
     "SolverConfig",
@@ -41,6 +47,8 @@ __all__ = [
     "SumOperator",
     "ComposedOperator",
     "lobpcg",
+    "ilobpcg",
+    "klobpcg",
     "LOBPCGResult",
     "ILOBPCGResult",
 ]

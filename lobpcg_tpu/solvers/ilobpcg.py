@@ -1,0 +1,198 @@
+"""Indefinite LOBPCG driver (Kressner-Pandur-Shao).
+
+Reference: `src/core/ilobpcg_impl.inc:54-282`.  Same while-loop skeleton
+as solvers.lobpcg plus: initial SVQB B-orthonormalization, GGEV-based RR
+with signature tracking (ops.indefinite), signature-weighted W
+orthogonalization every iteration, and the quality=5 dual-basis
+projection: when the projected pencil's eigenvectors lose
+B-orthogonality, the accurate Cx drives the residual while the
+svqb-stabilized Cx_ortho drives the iteration basis
+(`ilobpcg_impl.inc:204-256`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from lobpcg_tpu.config import (
+    SolverConfig,
+    quality_tol,
+    tiny,
+    validate_problem,
+)
+from lobpcg_tpu.operators.linop import LinearOperator
+from lobpcg_tpu.ops import masking
+from lobpcg_tpu.ops.gram import mm
+from lobpcg_tpu.ops.indefinite import (
+    indefinite_rayleigh_ritz,
+    indefinite_rayleigh_ritz_modified,
+)
+from lobpcg_tpu.ops.ortho import ortho_indefinite
+from lobpcg_tpu.ops.residual import (
+    estimate_norm,
+    get_residual,
+    get_residual_norm,
+)
+from lobpcg_tpu.ops.svqb import svqb
+from lobpcg_tpu.solvers.state import ILOBPCGResult
+from lobpcg_tpu.utils.prng import fill_random
+
+
+class _Carry(NamedTuple):
+    S: jax.Array  # [n, 3m]
+    AX: jax.Array  # [n, m]
+    lam: jax.Array  # [m] real
+    sig: jax.Array  # [m] i32 signature of the X block
+    res: jax.Array  # [nev] real
+    conv: jax.Array  # i32
+    it: jax.Array  # i32
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig):
+    n = A.shape[0]
+    m = config.size_sub
+    nev = config.nev
+    dtype = A.dtype
+    eps_ortho, eps_drop = config.resolved_eps(dtype)
+    tn = tiny(dtype)
+    qt = quality_tol(dtype)
+
+    k_a, k_b, k_x = jax.random.split(key, 3)
+    a_norm = estimate_norm(A, k_a, config.norm_iters)
+    b_norm = estimate_norm(B, k_b, config.norm_iters)
+
+    X = fill_random(k_x, (n, m), dtype) if X0 is None else X0.astype(dtype)
+
+    # B-orthonormalize the start basis (`ilobpcg_impl.inc:101-102`).
+    X, _ = svqb(X, m, B, tau=eps_drop, drop=False)
+
+    # Initial indefinite RR (`ilobpcg_impl.inc:105-109`).
+    Cx0, lam0, sig0 = indefinite_rayleigh_ritz(
+        X, A, B, method=config.rr_method, tiny=tn
+    )
+    X = mm(X, Cx0)
+    AX = A.matmat(X)
+    W = get_residual(X, AX, lam0, A, B)
+    res = get_residual_norm(W, lam0, a_norm, b_norm, nev)
+
+    S = jnp.concatenate([X, jnp.zeros((n, m), dtype), W], axis=1)
+    carry0 = _Carry(S, AX, lam0, sig0, res, jnp.int32(0), jnp.int32(0))
+
+    def cond(c: _Carry):
+        return (c.it < config.max_iter) & (c.conv < nev)
+
+    def body(c: _Carry):
+        it0 = c.it == 0
+        np_act = jnp.where(it0, 0, m - c.conv)
+        nw = jnp.where(it0, jnp.int32(m), m - c.conv)
+        W = c.S[:, 2 * m :]
+
+        if T is not None:
+            W = masking.mask_cols(T.matmat(W), nw)
+
+        # Indefinite orthogonalization against [X, P_active], every
+        # iteration (`ilobpcg_impl.inc:168-178`).
+        V = c.S[:, : 2 * m]
+        W, nw = ortho_indefinite(
+            W, nw, V, m + np_act, B,
+            eps_ortho=eps_ortho, eps_drop=eps_drop,
+            max_outer=config.max_outer, max_inner=config.max_inner,
+        )
+        S = jnp.concatenate([c.S[:, : 2 * m], W], axis=1)
+
+        AX = c.AX if config.use_ax_cache else None
+        rr = indefinite_rayleigh_ritz_modified(
+            S, AX, np_act, nw, A, B,
+            nx=m, method=config.rr_method, tiny=tn, quality_tol=qt,
+            eps_ortho=eps_ortho, eps_drop=eps_drop,
+            max_outer=config.max_outer, max_inner=config.max_inner,
+        )
+
+        def project_good(_):
+            C = jnp.concatenate([rr.Cx, rr.Cp], axis=1)
+            XP = mm(S, C)
+            Xn = XP[:, :m]
+            AXn = A.matmat(Xn)
+            Wres = get_residual(Xn, AXn, rr.lam, A, B)
+            return XP, AXn, Wres
+
+        def project_poor(_):
+            # Residual from the accurate basis; iterate the stable one
+            # (`ilobpcg_impl.inc:228-256`).
+            X_acc = mm(S, rr.Cx)
+            C = jnp.concatenate([rr.Cx_ortho, rr.Cp], axis=1)
+            XP = mm(S, C)
+            AXn = A.matmat(XP[:, :m])
+            Wres = get_residual(X_acc, None, rr.lam, A, B)
+            return XP, AXn, Wres
+
+        XP, AXn, Wres = jax.lax.cond(
+            rr.quality == 1, project_good, project_poor, None
+        )
+        Xn = XP[:, :m]
+        Pn = XP[:, m:]
+
+        res = get_residual_norm(Wres, rr.lam, a_norm, b_norm, nev)
+        convn = masking.prefix_count(res <= config.tol)
+
+        act = m - convn
+        Pc = masking.shift_cols(Pn, convn, act)
+        Wc = masking.shift_cols(Wres, convn, act)
+        Sn = jnp.concatenate([Xn, Pc, Wc], axis=1)
+
+        return _Carry(Sn, AXn, rr.lam, rr.sig[:m], res, convn, c.it + 1)
+
+    cf = jax.lax.while_loop(cond, body, carry0)
+
+    return ILOBPCGResult(
+        eigenvalues=cf.lam[:nev],
+        eigenvectors=cf.S[:, :nev],
+        residual_norms=cf.res,
+        signature=cf.sig[:nev],
+        converged=cf.conv,
+        iterations=cf.it,
+    )
+
+
+def ilobpcg(
+    A: LinearOperator,
+    X0: Optional[jax.Array] = None,
+    B: Optional[LinearOperator] = None,
+    T: Optional[LinearOperator] = None,
+    *,
+    nev: int,
+    size_sub: Optional[int] = None,
+    tol: float = 1e-5,
+    max_iter: int = 100,
+    key: Optional[jax.Array] = None,
+    config: Optional[SolverConfig] = None,
+) -> ILOBPCGResult:
+    """Solve A x = lambda B x with **indefinite** B for the eigenvalues
+    closest to the positive spectrum edge (KPS ordering: positive
+    ascending first).
+
+    Capability match for the reference's `ilobpcg()` entry point
+    (`lobpcg.h:77-83` -> `src/core/ilobpcg_impl.inc:54`).  B is required.
+    """
+    if B is None:
+        raise ValueError("ilobpcg: B operator must not be None")
+    if config is None:
+        config = SolverConfig(
+            nev=nev,
+            size_sub=size_sub if size_sub is not None else nev,
+            tol=tol,
+            max_iter=max_iter,
+        )
+    validate_problem(A.shape[0], config)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if X0 is not None and X0.shape[1] != config.size_sub:
+        raise ValueError(
+            f"X0 has {X0.shape[1]} columns, expected size_sub={config.size_sub}"
+        )
+    return _ilobpcg_jit(A, B, T, X0, key, config)

@@ -1,0 +1,90 @@
+"""Indefinite solver integration tests — ports of
+`/root/reference/tests/test_ilobpcg.c`: BdG-style block pencils with
++-(k*pi)^2 spectrum, B-positive initialization, the ill-conditioned
+quality=5 stress, f32 run, and soft locking."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lobpcg_tpu import ilobpcg
+from tests.fixtures import bdg_ops, bdg_positive_init, laplacian_exact
+
+
+def _check_bdg(r, nev, rel_tol=0.01):
+    assert int(r.converged) == nev
+    for k in range(1, nev + 1):
+        lam = float(r.eigenvalues[k - 1])
+        exact = laplacian_exact(k)
+        assert lam > 0
+        assert abs(lam - exact) / exact < rel_tol, (k, lam, exact)
+
+
+def test_d_ilobpcg_block_laplacian():
+    """test_ilobpcg.c Test 1: m=50, nev=3, sizeSub=5, tol=1e-4."""
+    m, nev, ss = 50, 3, 5
+    A, B = bdg_ops(m, jnp.float64)
+    X0 = bdg_positive_init(42, m, ss, jnp.float64)
+    r = ilobpcg(A, X0, B, nev=nev, size_sub=ss, tol=1e-4, max_iter=500)
+    _check_bdg(r, nev)
+    np.testing.assert_array_equal(np.asarray(r.signature), [1, 1, 1])
+
+
+def test_z_ilobpcg_block_laplacian():
+    """test_ilobpcg.c Test 2: complex double."""
+    m, nev, ss = 50, 3, 5
+    A, B = bdg_ops(m, jnp.complex128)
+    X0 = bdg_positive_init(42, m, ss, jnp.complex128)
+    r = ilobpcg(A, X0, B, nev=nev, size_sub=ss, tol=1e-4, max_iter=500)
+    _check_bdg(r, nev)
+
+
+def test_d_ilobpcg_quality5():
+    """test_ilobpcg.c Test 3: ill-conditioned B = antidiag(D,D),
+    D = diag(0.1^i) — forces the quality=5 dual-basis path."""
+    m, nev, ss = 30, 2, 4
+    A, B = bdg_ops(m, jnp.float64, r=0.1)
+    X0 = bdg_positive_init(99, m, ss, jnp.float64)
+    r = ilobpcg(A, X0, B, nev=nev, size_sub=ss, tol=1e-3, max_iter=500)
+    assert int(r.converged) == nev
+    for k in range(nev):
+        assert float(r.eigenvalues[k]) > 0
+
+
+def test_s_ilobpcg_block_laplacian():
+    """test_ilobpcg.c Test 4: float32, tol=1e-3."""
+    m, nev, ss = 50, 3, 5
+    A, B = bdg_ops(m, jnp.float32)
+    X0 = bdg_positive_init(42, m, ss, jnp.float32)
+    r = ilobpcg(A, X0, B, nev=nev, size_sub=ss, tol=1e-3, max_iter=500)
+    _check_bdg(r, nev)
+
+
+def test_d_ilobpcg_softlock():
+    """test_ilobpcg.c Test 5: m=100, nev=5, sizeSub=10 — P/W compaction."""
+    m, nev, ss = 100, 5, 10
+    A, B = bdg_ops(m, jnp.float64)
+    X0 = bdg_positive_init(77, m, ss, jnp.float64)
+    r = ilobpcg(A, X0, B, nev=nev, size_sub=ss, tol=1e-4, max_iter=500)
+    _check_bdg(r, nev)
+
+
+def test_ilobpcg_qz_method():
+    """QZ host-callback path produces the same spectrum."""
+    from lobpcg_tpu import SolverConfig
+
+    m, nev, ss = 50, 3, 5
+    A, B = bdg_ops(m, jnp.float64)
+    X0 = bdg_positive_init(42, m, ss, jnp.float64)
+    cfg = SolverConfig(nev=nev, size_sub=ss, tol=1e-4, max_iter=500,
+                       rr_method="qz")
+    r = ilobpcg(A, X0, B, nev=nev, config=cfg)
+    _check_bdg(r, nev)
+
+
+def test_ilobpcg_requires_b():
+    from tests.fixtures import laplacian_op
+
+    with pytest.raises(ValueError, match="B operator"):
+        ilobpcg(laplacian_op(30, jnp.float64), nev=2, size_sub=3)
