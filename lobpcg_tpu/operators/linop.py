@@ -162,23 +162,42 @@ class CallableOperator(LinearOperator):
         return self._dtype
 
 
-@operator(data_fields=("scale",), meta_fields=("n",))
+@operator(data_fields=("scale",), meta_fields=("n", "segments"))
 class Laplacian1D(LinearOperator):
-    """1-D Dirichlet Laplacian: tridiag[-1, 2, -1] * scale (scale = 1/h^2).
+    """Segmented 1-D Dirichlet Laplacian: block-diag of `segments`
+    independent tridiag[-1, 2, -1] * scale stencils (scale = 1/h^2).
 
-    Reference fixture: `tests/test_lobpcg.c:48-62` with analytic eigenvalues
-    (k*pi)^2 (`tests/test_lobpcg.c:383-389`).  Implemented as a shift-add
-    stencil on the whole block — XLA turns the shifted adds into fused
-    vector ops, and under row-sharding the slices become halo exchanges.
+    Reference fixtures: `tests/test_lobpcg.c:48-62` (segments=1, analytic
+    eigenvalues (k*pi)^2) and the BdG block-Laplacian A = diag(K, K)
+    (`tests/test_ilobpcg.c:28-52`, segments=2).
+
+    On TPU f32 with a 128-aligned block width this dispatches to the
+    Pallas halo-DMA streaming kernel (ops/pallas/stencil.py); otherwise a
+    shift-add jnp formulation that XLA fuses (and, under row-sharding,
+    turns into local stencils + halo collective-permutes).
     """
 
     scale: jax.Array  # scalar 1/h^2
     n: int = 0
+    segments: int = 1
 
     def matmat(self, X):
-        up = jnp.concatenate([X[1:], jnp.zeros_like(X[:1])], axis=0)
-        down = jnp.concatenate([jnp.zeros_like(X[:1]), X[:-1]], axis=0)
-        return self.scale * (2.0 * X - up - down)
+        from lobpcg_tpu.ops.pallas.stencil import (
+            stencil_matmat_pallas,
+            stencil_supported,
+        )
+
+        if stencil_supported(X, self.segments):
+            return stencil_matmat_pallas(
+                X, self.scale, num_segments=self.segments
+            )
+        k = X.shape[1]
+        Xs = X.reshape(self.segments, self.n // self.segments, k)
+        z = jnp.zeros_like(Xs[:, :1])
+        up = jnp.concatenate([Xs[:, 1:], z], axis=1)
+        down = jnp.concatenate([z, Xs[:, :-1]], axis=1)
+        Y = self.scale * (2.0 * Xs - up - down)
+        return Y.reshape(self.n, k)
 
     @property
     def shape(self):

@@ -1,0 +1,117 @@
+"""Sparse operator (BSR/ELL) and native preprocessing tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from lobpcg_tpu.operators.sparse import BSROperator, laplacian_3d_csr
+from lobpcg_tpu.utils import native
+
+
+def _rand_sparse(n, density, seed):
+    rng = np.random.RandomState(seed)
+    M = sp.random(n, n, density=density, random_state=rng, format="csr")
+    M = M + M.T
+    M.sort_indices()
+    return M
+
+
+def test_coo_to_csr_matches_scipy():
+    rng = np.random.RandomState(1)
+    n, nnz = 100, 800
+    rows, cols = rng.randint(0, n, nnz), rng.randint(0, n, nnz)
+    vals = rng.randn(nnz)
+    indptr, indices, v = native.coo_to_csr(n, rows, cols, vals)
+    ref = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    ref.sum_duplicates()
+    ref.sort_indices()
+    np.testing.assert_array_equal(indptr, ref.indptr)
+    np.testing.assert_array_equal(indices, ref.indices)
+    np.testing.assert_allclose(v, ref.data)
+
+
+def test_csr_to_bsr_matches_scipy():
+    M = _rand_sparse(128, 0.05, 2)
+    bip, bix, bv = native.csr_to_bsr(
+        128, 8, M.indptr, M.indices, M.data
+    )
+    ref = M.tobsr((8, 8))
+    ref.sort_indices()
+    np.testing.assert_array_equal(bip, ref.indptr)
+    np.testing.assert_array_equal(bix, ref.indices)
+    np.testing.assert_allclose(bv, ref.data)
+
+
+def test_rcm_reduces_bandwidth():
+    M = _rand_sparse(200, 0.02, 3)
+    perm = native.rcm_order(200, M.indptr, M.indices)
+    assert sorted(perm) == list(range(200))
+    Mp = M[perm][:, perm].tocoo()
+    bw_after = np.abs(Mp.row - Mp.col).max()
+    Mo = M.tocoo()
+    bw_before = np.abs(Mo.row - Mo.col).max()
+    assert bw_after <= bw_before
+
+
+def test_partition_and_halo():
+    ip, ix, v = laplacian_3d_csr(8, 8, 8)
+    n = 512
+    off = native.partition_rows(n, ip, 4)
+    assert off[0] == 0 and off[-1] == n
+    nnz_per = [ip[off[p + 1]] - ip[off[p]] for p in range(4)]
+    assert max(nnz_per) / max(1, min(nnz_per)) < 1.5  # balanced
+    h = native.halo_rows(int(off[1]), int(off[2]), ip, ix)
+    assert len(h) > 0
+    assert np.all((h < off[1]) | (h >= off[2]))
+
+
+def test_bsr_operator_matches_dense():
+    M = _rand_sparse(96, 0.08, 4)
+    A = M.toarray()
+    op = BSROperator.from_dense(A, block_size=8, dtype=jnp.float64)
+    X = jnp.asarray(np.random.RandomState(5).randn(96, 7))
+    Y = op.matmat(X)
+    np.testing.assert_allclose(np.asarray(Y), A @ np.asarray(X), atol=1e-10)
+
+
+def test_bsr_in_lobpcg_solver():
+    """3-D Laplacian (stencil CSR) through BSR inside the solver — the
+    BASELINE.json config 1 workload."""
+    from lobpcg_tpu import lobpcg
+    from tests.fixtures import rand_block
+
+    nx = 8
+    ip, ix, v = laplacian_3d_csr(nx, nx, nx)
+    n = nx**3
+    op = BSROperator.from_csr(ip, ix, v, block_size=8, dtype=jnp.float64)
+    X0 = rand_block(301, n, 6, jnp.float64)
+    r = lobpcg(op, X0, nev=3, size_sub=6, tol=1e-6, max_iter=300)
+    assert int(r.converged) == 3
+    # oracle: h = 1/(nx+1); eigenvalues = sum of 1-D Dirichlet eigenvalues
+    h = 1.0 / (nx + 1)
+    oned = 4.0 / (h * h) * np.sin(np.arange(1, nx + 1) * np.pi * h / 2) ** 2
+    combos = np.sort(
+        (oned[:, None, None] + oned[None, :, None] + oned[None, None, :])
+        .ravel()
+    )
+    np.testing.assert_allclose(
+        np.asarray(r.eigenvalues), combos[:3], rtol=1e-8
+    )
+
+
+def test_bsr_pallas_interpret_matches_reference():
+    """Pallas BSR kernel in interpreter mode == gather/einsum reference."""
+    from lobpcg_tpu.ops.pallas.bsr import (
+        bsr_matmat_pallas,
+        bsr_matmat_reference,
+    )
+
+    M = _rand_sparse(64, 0.1, 6)
+    op = BSROperator.from_dense(M.toarray(), block_size=8, dtype=jnp.float32)
+    X = jnp.asarray(np.random.RandomState(7).randn(64, 128), jnp.float32)
+    Y_ref = bsr_matmat_reference(op.block_cols, op.blocks, X)
+    Y_pal = bsr_matmat_pallas(op.block_cols, op.blocks, X, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(Y_pal), np.asarray(Y_ref), rtol=1e-5, atol=1e-4
+    )
