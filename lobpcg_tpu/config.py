@@ -101,6 +101,17 @@ class SolverConfig:
     # Cache AX between iterations (the reference's AX field).
     use_ax_cache: bool = True
 
+    # Mixed precision (BASELINE.json config "mixed float/double"): when
+    # set (e.g. "float64"), the k x k Gram matrices are *accumulated* in
+    # this precision (preferred_element_type on the contraction — the
+    # tall blocks stay in the operator dtype) and the projected
+    # eigensolves / Cholesky / coefficient math run in it; coefficient
+    # matrices are cast back to the operator dtype for the tall
+    # project-back GEMMs.  Complexness follows the operator dtype
+    # (complex64 operator + rr_dtype="float64" -> complex128 Grams).
+    # Requires jax_enable_x64 for float64 to exist at all.
+    rr_dtype: Optional[str] = None
+
     def __post_init__(self):
         if self.nev > self.size_sub:
             raise ValueError(
@@ -115,6 +126,17 @@ class SolverConfig:
             self.eps_ortho if self.eps_ortho is not None else e,
             self.eps_drop if self.eps_drop is not None else e,
         )
+
+    def resolved_rr_dtype(self, op_dtype):
+        """The dtype for Gram/RR math, matched to the operator dtype's
+        complexness; None when mixed precision is off."""
+        if self.rr_dtype is None:
+            return None
+        rr = jnp.dtype(self.rr_dtype)
+        if jnp.issubdtype(jnp.dtype(op_dtype), jnp.complexfloating):
+            if not jnp.issubdtype(rr, jnp.complexfloating):
+                rr = jnp.dtype(jnp.result_type(rr, jnp.complex64))
+        return rr
 
 
 def validate_problem(n: int, config: SolverConfig) -> None:

@@ -50,37 +50,49 @@ def apply_block_op(op: Optional[LinearOperator], X: jax.Array) -> jax.Array:
     return op.matmat(X)
 
 
-def _hdot(V: jax.Array, U: jax.Array) -> jax.Array:
-    """V^H @ U with full-precision accumulation."""
-    return mm(V.conj().T, U)
+def _hdot(V: jax.Array, U: jax.Array, out_dtype=None) -> jax.Array:
+    """V^H @ U with full-precision accumulation.
+
+    `out_dtype` (mixed precision): accumulate the contraction in a higher
+    precision via preferred_element_type — the tall inputs stay in their
+    storage dtype in HBM; only the k x k result is high-precision.
+    """
+    dt = jnp.dtype(out_dtype) if out_dtype is not None else U.dtype
+    return jnp.matmul(
+        V.conj().T, U, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=dt,
+    )
 
 
 def gram_self(
-    U: jax.Array, B: Optional[LinearOperator] = None
+    U: jax.Array, B: Optional[LinearOperator] = None, out_dtype=None
 ) -> jax.Array:
     """G = U^H B U  (B None -> U^H U).  Reference: `gram_impl.inc:49-67`."""
     BU = apply_block_op(B, U)
-    return _hdot(U, BU)
+    return _hdot(U, BU, out_dtype)
 
 
 def gram_cross(
-    V: jax.Array, U: jax.Array, B: Optional[LinearOperator] = None
+    V: jax.Array, U: jax.Array, B: Optional[LinearOperator] = None,
+    out_dtype=None,
 ) -> jax.Array:
     """G = V^H B U.  Reference: `gram_impl.inc:85-105`."""
     BU = apply_block_op(B, U)
-    return _hdot(V, BU)
+    return _hdot(V, BU, out_dtype)
 
 
-def gram_self_mat(U: jax.Array, mat: jax.Array) -> jax.Array:
+def gram_self_mat(U: jax.Array, mat: jax.Array, out_dtype=None) -> jax.Array:
     """G = U^H mat U with an explicit dense metric.
     Reference: `src/gram/gram_mat_impl.inc:33-58`."""
-    return _hdot(U, mm(mat, U))
+    return _hdot(U, mm(mat, U), out_dtype)
 
 
-def gram_cross_mat(V: jax.Array, U: jax.Array, mat: jax.Array) -> jax.Array:
+def gram_cross_mat(
+    V: jax.Array, U: jax.Array, mat: jax.Array, out_dtype=None
+) -> jax.Array:
     """G = V^H mat U with an explicit dense metric.
     Reference: `src/gram/gram_mat_impl.inc:64-89`."""
-    return _hdot(V, mm(mat, U))
+    return _hdot(V, mm(mat, U), out_dtype)
 
 
 def frob_norm(X: jax.Array) -> jax.Array:

@@ -64,20 +64,23 @@ def indefinite_rayleigh_ritz(
     *,
     method: str,
     tiny: float,
+    rr_dtype=None,
 ):
     """Initial indefinite RR on a full-width block.
 
     Returns (Cx [m,m], lam [m] real sorted, sig [m] i32 sorted).
     Reference: `indefinite_rr_impl.inc:51-149` (single B-normalization).
+    Mixed precision: the projected pencil solve and B-normalization run in
+    rr_dtype; Cx is cast back to X's dtype, lam stays high.
     """
-    GA = gram_self(X, A)
-    GB = gram_self(X, B)
+    GA = gram_self(X, A, out_dtype=rr_dtype)
+    GB = gram_self(X, B, out_dtype=rr_dtype)
     lam, V = pencil_eig(GA, GB, method=method, tiny=tiny)
     V, d = _b_normalize(V, GB, tiny)
     sig = jnp.where(d.real >= 0, 1, -1).astype(jnp.int32)
     perm = signature_sort(lam, sig)
     return (
-        masking.permute_cols(V, perm),
+        masking.permute_cols(V, perm).astype(X.dtype),
         lam[perm],
         sig[perm],
     )
@@ -99,6 +102,7 @@ def indefinite_rayleigh_ritz_modified(
     eps_drop: float,
     max_outer: int = 3,
     max_inner: int = 3,
+    rr_dtype=None,
 ) -> IndefiniteRRResult:
     """Per-iteration indefinite RR over the masked [X|P|W] subspace.
 
@@ -111,9 +115,10 @@ def indefinite_rayleigh_ritz_modified(
     m = nx
     live = masking.blocks_mask((m, m, k - 2 * m), (m, np_act, nw_act))
     S = masking.mask_cols(S, live)
+    sdt = S.dtype
 
-    GA = _a_gram(S, AX, A, nx)
-    GB = gram_self(S, B)
+    GA = _a_gram(S, AX, A, nx, out_dtype=rr_dtype)
+    GB = gram_self(S, B, out_dtype=rr_dtype)
     # Dead coordinates: unit pencil eigenpair (lambda = 1, sig would be
     # +1); detected below via coordinate mass and forced to sig = 0 so
     # the sort pushes them past every live eigenpair.
@@ -162,7 +167,10 @@ def indefinite_rayleigh_ritz_modified(
             eps_ortho=eps_ortho, eps_drop=eps_drop,
             max_outer=max_outer, max_inner=max_inner,
         )
-        return IndefiniteRRResult(Cx, Cp, Cx, lam, sig, jnp.int32(1))
+        return IndefiniteRRResult(
+            Cx.astype(sdt), Cp.astype(sdt), Cx.astype(sdt), lam, sig,
+            jnp.int32(1),
+        )
 
     def poor(_):
         Cx_o = svqb_mat(Cx, GB, tau=eps_drop)
@@ -171,6 +179,9 @@ def indefinite_rayleigh_ritz_modified(
             eps_ortho=eps_ortho, eps_drop=eps_drop,
             max_outer=max_outer, max_inner=max_inner,
         )
-        return IndefiniteRRResult(Cx, Cp, Cx_o, lam, sig, jnp.int32(5))
+        return IndefiniteRRResult(
+            Cx.astype(sdt), Cp.astype(sdt), Cx_o.astype(sdt), lam, sig,
+            jnp.int32(5),
+        )
 
     return jax.lax.cond(quality_ok, good, poor, None)

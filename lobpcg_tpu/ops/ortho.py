@@ -39,7 +39,9 @@ def _guard(x, eps):
     return jnp.where(x < eps, jnp.ones_like(x), x)
 
 
-def _svqb_inner_loop(U, nu, B, eps_ortho, eps_drop, max_inner, *, indefinite):
+def _svqb_inner_loop(
+    U, nu, B, eps_ortho, eps_drop, max_inner, *, indefinite, rr_dtype=None
+):
     """Shared inner loop: repeat svqb until ||U^H B U - I_sig|| is small.
 
     ortho_drop normalizes by ||B*U||*||U|| (`ortho_drop_impl.inc:97-110`);
@@ -52,7 +54,7 @@ def _svqb_inner_loop(U, nu, B, eps_ortho, eps_drop, max_inner, *, indefinite):
 
     def body(carry):
         U, nu, i, _ = carry
-        U, nu = svqb(U, nu, B, tau=eps_drop, drop=True)
+        U, nu = svqb(U, nu, B, tau=eps_drop, drop=True, rr_dtype=rr_dtype)
         G = gram_self(U, B)
         err = ortho_err(G, nu)
         U_norm = _guard(frob_norm(U), eps_ortho)
@@ -81,6 +83,7 @@ def ortho_drop(
     eps_drop: float,
     max_outer: int = 3,
     max_inner: int = 3,
+    rr_dtype=None,
 ):
     """B-orthogonalize U against V (B positive semi-definite), with
     column dropping.  Returns (U_new, retained_count).
@@ -105,7 +108,8 @@ def ortho_drop(
         U = masking.mask_cols(U, nu)
         # Inner svqb loop
         U, nu = _svqb_inner_loop(
-            U, nu, B, eps_ortho, eps_drop, max_inner, indefinite=False
+            U, nu, B, eps_ortho, eps_drop, max_inner, indefinite=False,
+            rr_dtype=rr_dtype,
         )
         # Check ||V^H B U||_F
         coef2 = gram_cross(V, U, B)
@@ -131,6 +135,7 @@ def ortho_indefinite(
     eps_drop: float,
     max_outer: int = 3,
     max_inner: int = 3,
+    rr_dtype=None,
 ):
     """Signature-weighted B-orthogonalization of U against V (B indefinite).
 
@@ -161,7 +166,8 @@ def ortho_indefinite(
         U = U - mm(V, tmp)
         U = masking.mask_cols(U, nu)
         U, nu = _svqb_inner_loop(
-            U, nu, B, eps_ortho, eps_drop, max_inner, indefinite=True
+            U, nu, B, eps_ortho, eps_drop, max_inner, indefinite=True,
+            rr_dtype=rr_dtype,
         )
         coef2 = gram_cross(V, U, B)
         U_norm = _guard(frob_norm(U), eps_ortho)

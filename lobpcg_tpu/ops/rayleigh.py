@@ -92,25 +92,28 @@ def rayleigh_ritz(
     X: jax.Array,
     A: LinearOperator,
     B: Optional[LinearOperator] = None,
+    rr_dtype=None,
 ):
     """Initial RR on a full-width block: returns (Cx [m,m], lam [m]).
 
     Reference: `rayleigh_ritz_impl.inc:37-99` — B-Gram, D-scaling,
     Cholesky, congruence transform, eigh, back-transform.
+    Mixed precision: Grams accumulate in rr_dtype and the projected solve
+    runs in it; Cx is cast back to X's dtype, lam stays high.
     """
-    G = gram_self(X, B)
+    G = gram_self(X, B, out_dtype=rr_dtype)
     D, Gs = _scale_diag(G)
     L = jnp.linalg.cholesky(Gs)
     DiR = _dinv_r(L, D)
-    Ap = gram_self(X, A)
+    Ap = gram_self(X, A, out_dtype=rr_dtype)
     T1 = mm(Ap, DiR)
     H = mm(DiR.conj().T, T1)
     w, V = jnp.linalg.eigh(H)
     Cx = mm(DiR, V)
-    return Cx, w
+    return Cx.astype(X.dtype), w
 
 
-def _a_gram(S, AX, A, nx: int):
+def _a_gram(S, AX, A, nx: int, out_dtype=None):
     """G_A = S^H [AX | A (P|W)]; reuses the AX cache for the X block
     (`rayleigh_ritz_modified_impl.inc:71-78, 189-196`)."""
     if AX is None:
@@ -118,7 +121,11 @@ def _a_gram(S, AX, A, nx: int):
     else:
         APW = A.matmat(S[:, nx:])
         AS = jnp.concatenate([AX, APW], axis=1)
-    return mm(S.conj().T, AS)
+    dt = jnp.dtype(out_dtype) if out_dtype is not None else S.dtype
+    return jnp.matmul(
+        S.conj().T, AS, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=dt,
+    )
 
 
 def rayleigh_ritz_modified(
@@ -132,6 +139,7 @@ def rayleigh_ritz_modified(
     *,
     nx: int,
     tol_skip: float = 5e-3,
+    rr_dtype=None,
 ) -> RRResult:
     """Per-iteration RR over the masked [X|P|W] subspace.
 
@@ -144,7 +152,8 @@ def rayleigh_ritz_modified(
     m = nx
     live = masking.blocks_mask((m, m, k - 2 * m), (m, np_act, nw_act))
     S = masking.mask_cols(S, live)
-    GA = _a_gram(S, AX, A, nx)
+    GA = _a_gram(S, AX, A, nx, out_dtype=rr_dtype)
+    sdt = S.dtype
 
     def ortho_branch(_):
         H = _sentinel(GA, live)
@@ -152,10 +161,10 @@ def rayleigh_ritz_modified(
         Cx = Z[:, :nx]
         lam = w[:nx]
         Cp = _cp_extract(Z, nx, None)
-        return RRResult(Cx, Cp, lam, jnp.int32(1))
+        return RRResult(Cx.astype(sdt), Cp.astype(sdt), lam, jnp.int32(1))
 
     def chol_branch(_):
-        GB = gram_self(S, B)
+        GB = gram_self(S, B, out_dtype=rr_dtype)
         GB = masking.inject_diag(GB, live, 1.0)
         D, Gs = _scale_diag(GB)
         L = jnp.linalg.cholesky(Gs)
@@ -174,6 +183,6 @@ def rayleigh_ritz_modified(
         lam = w[:nx]
         Cp = _cp_extract(Z, nx, DiR)
         flag = jnp.where(ok, jnp.int32(0), jnp.int32(2))
-        return RRResult(Cx, Cp, lam, flag)
+        return RRResult(Cx.astype(sdt), Cp.astype(sdt), lam, flag)
 
     return jax.lax.cond(use_ortho >= 1, ortho_branch, chol_branch, None)

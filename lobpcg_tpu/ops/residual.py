@@ -49,8 +49,10 @@ def get_residual_norm(
     with B present; we keep that behavior for parity)."""
     nom = jnp.sqrt(jnp.sum(jnp.abs(W[:, :nev]) ** 2, axis=0))
     b_norm = jnp.where(b_norm > 0, b_norm, 1.0)
-    denom = a_norm + jnp.abs(lam[:nev]) * b_norm
-    return nom / denom
+    # lam may be high precision (mixed-precision RR); norms stay in the
+    # storage real dtype so the solver carry keeps a fixed dtype.
+    denom = a_norm + jnp.abs(lam[:nev]).astype(nom.dtype) * b_norm
+    return (nom / denom).astype(nom.dtype)
 
 
 def estimate_norm(

@@ -27,10 +27,12 @@ def _svqb_transform(G, count, tau, drop, dtype):
     """Shared core: from Gram matrix (live block only; dead zero) to the
     fused transform T = D * V * D_final with drop compaction.
 
+    Internal math runs in G's dtype (the mixed-precision rr_dtype when
+    set); T is cast to `dtype` (the storage dtype) at the end.
     Returns (T [k,k], n_kept i32).
     """
     k = G.shape[0]
-    rdt = jnp.zeros((), dtype).real.dtype
+    rdt = jnp.zeros((), G.dtype).real.dtype
     G = masking.inject_diag(G, count, 1.0)
 
     # Diagonal scaling D_ii = 1/sqrt(|G_ii|)  (svqb_impl.inc:66-70)
@@ -73,6 +75,7 @@ def svqb(
     *,
     tau: float,
     drop: bool,
+    rr_dtype=None,
 ):
     """B-orthonormalize the first `count` columns of U (SVQB).
 
@@ -81,7 +84,7 @@ def svqb(
     live columns are kept (n_kept == count).
     """
     U = masking.mask_cols(U, count)
-    G = gram_self(U, B)
+    G = gram_self(U, B, out_dtype=rr_dtype)
     T, n_kept = _svqb_transform(G, count, tau, drop, U.dtype)
     U_new = mm(U, T)
     return masking.mask_cols(U_new, n_kept), n_kept
@@ -94,7 +97,9 @@ def svqb_mat(
     tau: float,
 ):
     """SVQB against an explicit dense metric; never drops
-    (`src/ortho/svqb_mat_impl.inc:54,99`).  All columns treated live."""
+    (`src/ortho/svqb_mat_impl.inc:54,99`).  All columns treated live.
+    Runs entirely in U's dtype — in the mixed-precision path callers pass
+    coefficient matrices already held in rr_dtype."""
     k = U.shape[1]
     G = gram_self_mat(U, mat)
     T, _ = _svqb_transform(G, jnp.int32(k), tau, False, U.dtype)

@@ -59,7 +59,8 @@ def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig):
     nev = config.nev
     dtype = A.dtype
     eps_ortho, eps_drop = config.resolved_eps(dtype)
-    tn = tiny(dtype)
+    rrdt = config.resolved_rr_dtype(dtype)
+    tn = tiny(dtype if rrdt is None else rrdt)
     qt = quality_tol(dtype)
 
     k_a, k_b, k_x = jax.random.split(key, 3)
@@ -69,11 +70,11 @@ def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig):
     X = fill_random(k_x, (n, m), dtype) if X0 is None else X0.astype(dtype)
 
     # B-orthonormalize the start basis (`ilobpcg_impl.inc:101-102`).
-    X, _ = svqb(X, m, B, tau=eps_drop, drop=False)
+    X, _ = svqb(X, m, B, tau=eps_drop, drop=False, rr_dtype=rrdt)
 
     # Initial indefinite RR (`ilobpcg_impl.inc:105-109`).
     Cx0, lam0, sig0 = indefinite_rayleigh_ritz(
-        X, A, B, method=config.rr_method, tiny=tn
+        X, A, B, method=config.rr_method, tiny=tn, rr_dtype=rrdt
     )
     X = mm(X, Cx0)
     AX = A.matmat(X)
@@ -102,6 +103,7 @@ def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig):
             W, nw, V, m + np_act, B,
             eps_ortho=eps_ortho, eps_drop=eps_drop,
             max_outer=config.max_outer, max_inner=config.max_inner,
+            rr_dtype=rrdt,
         )
         S = jnp.concatenate([c.S[:, : 2 * m], W], axis=1)
 
@@ -111,6 +113,7 @@ def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig):
             nx=m, method=config.rr_method, tiny=tn, quality_tol=qt,
             eps_ortho=eps_ortho, eps_drop=eps_drop,
             max_outer=config.max_outer, max_inner=config.max_inner,
+            rr_dtype=rrdt,
         )
 
         def project_good(_):
@@ -165,7 +168,7 @@ def ilobpcg(
     B: Optional[LinearOperator] = None,
     T: Optional[LinearOperator] = None,
     *,
-    nev: int,
+    nev: Optional[int] = None,
     size_sub: Optional[int] = None,
     tol: float = 1e-5,
     max_iter: int = 100,
@@ -182,6 +185,8 @@ def ilobpcg(
     if B is None:
         raise ValueError("ilobpcg: B operator must not be None")
     if config is None:
+        if nev is None:
+            raise ValueError("either nev or config must be given")
         config = SolverConfig(
             nev=nev,
             size_sub=size_sub if size_sub is not None else nev,

@@ -60,6 +60,7 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
     nev = config.nev
     dtype = A.dtype
     eps_ortho, eps_drop = config.resolved_eps(dtype)
+    rrdt = config.resolved_rr_dtype(dtype)
 
     k_a, k_b, k_x = jax.random.split(key, 3)
     a_norm = estimate_norm(A, k_a, config.norm_iters)
@@ -72,7 +73,7 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
     X = fill_random(k_x, (n, m), dtype) if X0 is None else X0.astype(dtype)
 
     # Initial Rayleigh-Ritz + projection (`lobpcg_impl.inc:99-104`).
-    Cx0, lam = rayleigh_ritz(X, A, B)
+    Cx0, lam = rayleigh_ritz(X, A, B, rr_dtype=rrdt)
     X = _mm(X, Cx0)
     AX = A.matmat(X)
     W = get_residual(X, AX, lam, A, B)
@@ -102,6 +103,7 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
             eps_drop=eps_drop,
             max_outer=config.max_outer,
             max_inner=config.max_inner,
+            rr_dtype=rrdt,
         )
 
     def cond(c: _Carry):
@@ -137,6 +139,7 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
             B,
             nx=m,
             tol_skip=config.tol_skip,
+            rr_dtype=rrdt,
         )
 
         # Cholesky/cond failure: orthogonalize W and retry with the ortho
@@ -155,6 +158,7 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
                 B,
                 nx=m,
                 tol_skip=config.tol_skip,
+                rr_dtype=rrdt,
             )
             return rr2, S2, jnp.int32(1)
 
@@ -203,7 +207,7 @@ def lobpcg(
     B: Optional[LinearOperator] = None,
     T: Optional[LinearOperator] = None,
     *,
-    nev: int,
+    nev: Optional[int] = None,
     size_sub: Optional[int] = None,
     tol: float = 1e-5,
     max_iter: int = 100,
@@ -218,6 +222,8 @@ def lobpcg(
     initial guess ([n, size_sub]; first nev columns meaningful).
     """
     if config is None:
+        if nev is None:
+            raise ValueError("either nev or config must be given")
         config = SolverConfig(
             nev=nev,
             size_sub=size_sub if size_sub is not None else nev,
