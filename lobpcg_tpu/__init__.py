@@ -25,7 +25,16 @@ from lobpcg_tpu.operators.linop import (
 )
 from lobpcg_tpu.solvers.ilobpcg import ilobpcg
 from lobpcg_tpu.solvers.lobpcg import lobpcg
-from lobpcg_tpu.solvers.state import ILOBPCGResult, LOBPCGResult
+from lobpcg_tpu.solvers.state import (
+    ILOBPCGResult,
+    LOBPCGResult,
+    SolveHistory,
+)
+from lobpcg_tpu.utils.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+    solve_checkpointed,
+)
 
 # The reference exposes `klobpcg` as a pure alias of the standard solver
 # (`/root/reference/lobpcg.h:561-580`; a separate klobpcg main loop was
@@ -51,6 +60,10 @@ __all__ = [
     "klobpcg",
     "LOBPCGResult",
     "ILOBPCGResult",
+    "SolveHistory",
+    "save_checkpoint",
+    "load_checkpoint",
+    "solve_checkpointed",
 ]
 
 __version__ = "0.1.0"

@@ -112,6 +112,17 @@ class SolverConfig:
     # Requires jax_enable_x64 for float64 to exist at all.
     rr_dtype: Optional[str] = None
 
+    # Observability (reference: the int8 `verbosity` struct field gating
+    # per-iteration printf, `src/core/lobpcg_impl.inc:89-90,118-124,
+    # 230-238`).  0 = silent; 1 = per-iteration converged count + max
+    # residual via jax.debug.print (works inside jit / on TPU); 2 = also
+    # eigenvalues.
+    verbosity: int = 0
+
+    # Record the per-iteration (eigenvalues, residual norms, converged)
+    # trace into fixed [max_iter, ...] arrays returned as result.history.
+    record_history: bool = False
+
     def __post_init__(self):
         if self.nev > self.size_sub:
             raise ValueError(

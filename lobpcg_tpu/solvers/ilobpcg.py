@@ -38,6 +38,7 @@ from lobpcg_tpu.ops.residual import (
     get_residual_norm,
 )
 from lobpcg_tpu.ops.svqb import svqb
+from lobpcg_tpu.solvers import observe
 from lobpcg_tpu.solvers.state import ILOBPCGResult
 from lobpcg_tpu.utils.prng import fill_random
 
@@ -50,6 +51,7 @@ class _Carry(NamedTuple):
     res: jax.Array  # [nev] real
     conv: jax.Array  # i32
     it: jax.Array  # i32
+    hist: object  # SolveHistory or None (static per config)
 
 
 @functools.partial(jax.jit, static_argnums=(5,))
@@ -67,6 +69,8 @@ def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig):
     a_norm = estimate_norm(A, k_a, config.norm_iters)
     b_norm = estimate_norm(B, k_b, config.norm_iters)
 
+    observe.log_start(config, "ilobpcg", a_norm, b_norm)
+
     X = fill_random(k_x, (n, m), dtype) if X0 is None else X0.astype(dtype)
 
     # B-orthonormalize the start basis (`ilobpcg_impl.inc:101-102`).
@@ -82,7 +86,10 @@ def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig):
     res = get_residual_norm(W, lam0, a_norm, b_norm, nev)
 
     S = jnp.concatenate([X, jnp.zeros((n, m), dtype), W], axis=1)
-    carry0 = _Carry(S, AX, lam0, sig0, res, jnp.int32(0), jnp.int32(0))
+    hist0 = observe.history_init(config, m, lam0.dtype, res.dtype)
+    carry0 = _Carry(
+        S, AX, lam0, sig0, res, jnp.int32(0), jnp.int32(0), hist0
+    )
 
     def cond(c: _Carry):
         return (c.it < config.max_iter) & (c.conv < nev)
@@ -148,7 +155,11 @@ def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig):
         Wc = masking.shift_cols(Wres, convn, act)
         Sn = jnp.concatenate([Xn, Pc, Wc], axis=1)
 
-        return _Carry(Sn, AXn, rr.lam, rr.sig[:m], res, convn, c.it + 1)
+        observe.log_iteration(config, "ilobpcg", c.it, rr.lam, res, convn)
+        hist = observe.history_update(c.hist, c.it, rr.lam, res, convn)
+        return _Carry(
+            Sn, AXn, rr.lam, rr.sig[:m], res, convn, c.it + 1, hist
+        )
 
     cf = jax.lax.while_loop(cond, body, carry0)
 
@@ -159,6 +170,8 @@ def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig):
         signature=cf.sig[:nev],
         converged=cf.conv,
         iterations=cf.it,
+        basis=cf.S[:, :m],
+        history=cf.hist,
     )
 
 

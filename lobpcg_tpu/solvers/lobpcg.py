@@ -35,6 +35,7 @@ from lobpcg_tpu.ops.residual import (
     get_residual,
     get_residual_norm,
 )
+from lobpcg_tpu.solvers import observe
 from lobpcg_tpu.solvers.state import LOBPCGResult
 from lobpcg_tpu.utils.prng import fill_random
 
@@ -47,6 +48,7 @@ class _Carry(NamedTuple):
     conv: jax.Array  # i32
     use_ortho: jax.Array  # i32 (0 chol path, 1 ortho path; sticky)
     it: jax.Array  # i32
+    hist: object  # SolveHistory or None (static per config)
 
 
 def _mm(S, C):
@@ -70,6 +72,8 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
         else jnp.ones((), a_norm.dtype)
     )
 
+    observe.log_start(config, "lobpcg", a_norm, b_norm)
+
     X = fill_random(k_x, (n, m), dtype) if X0 is None else X0.astype(dtype)
 
     # Initial Rayleigh-Ritz + projection (`lobpcg_impl.inc:99-104`).
@@ -80,6 +84,7 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
     res = get_residual_norm(W, lam, a_norm, b_norm, nev)
 
     S = jnp.concatenate([X, jnp.zeros((n, m), dtype), W], axis=1)
+    hist0 = observe.history_init(config, m, lam.dtype, res.dtype)
     carry0 = _Carry(
         S,
         AX,
@@ -88,6 +93,7 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
         jnp.int32(0),
         jnp.int32(0),
         jnp.int32(0),
+        hist0,
     )
 
     def do_ortho(W, nw, S, np_act):
@@ -188,7 +194,9 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
         Wc = masking.shift_cols(Wres, convn, act)
         Sn = jnp.concatenate([Xn, Pc, Wc], axis=1)
 
-        return _Carry(Sn, AXn, rr.lam, res, convn, use_ortho, c.it + 1)
+        observe.log_iteration(config, "lobpcg", c.it, rr.lam, res, convn)
+        hist = observe.history_update(c.hist, c.it, rr.lam, res, convn)
+        return _Carry(Sn, AXn, rr.lam, res, convn, use_ortho, c.it + 1, hist)
 
     cf = jax.lax.while_loop(cond, body, carry0)
 
@@ -198,6 +206,8 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
         residual_norms=cf.res,
         converged=cf.conv,
         iterations=cf.it,
+        basis=cf.S[:, :m],
+        history=cf.hist,
     )
 
 

@@ -2,9 +2,22 @@
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
+
+
+class SolveHistory(NamedTuple):
+    """Per-iteration trace (recorded when SolverConfig.record_history).
+
+    Rows >= `iterations` are zero.  The reference only *prints* these
+    under its verbosity flag (`src/core/lobpcg_impl.inc:118-124,230-238`);
+    here they are first-class outputs for convergence studies.
+    """
+
+    eigenvalues: jax.Array  # [max_iter, m] real
+    residual_norms: jax.Array  # [max_iter, nev] real
+    converged: jax.Array  # [max_iter] i32
 
 
 class LOBPCGResult(NamedTuple):
@@ -18,6 +31,11 @@ class LOBPCGResult(NamedTuple):
     residual_norms: jax.Array  # [nev] real
     converged: jax.Array  # i32 — number of converged eigenpairs (prefix)
     iterations: jax.Array  # i32
+    # Full [n, size_sub] X block — LOBPCG warm-restarts from X alone
+    # (reference: caller-provided S is reused when nonzero,
+    # `src/core/lobpcg_impl.inc:92-96`), so this is the checkpoint payload.
+    basis: Optional[jax.Array] = None
+    history: Optional[SolveHistory] = None
 
 
 class ILOBPCGResult(NamedTuple):
@@ -27,3 +45,5 @@ class ILOBPCGResult(NamedTuple):
     signature: jax.Array  # [nev] i32 (+1/-1 per eigenpair)
     converged: jax.Array  # i32
     iterations: jax.Array  # i32
+    basis: Optional[jax.Array] = None  # full [n, size_sub] X block
+    history: Optional[SolveHistory] = None
