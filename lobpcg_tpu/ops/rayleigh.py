@@ -33,9 +33,11 @@ from lobpcg_tpu.operators.linop import LinearOperator
 
 class RRResult(NamedTuple):
     Cx: jax.Array  # [k, nx]
-    Cp: jax.Array  # [k, nx]
+    Cp: jax.Array  # [k, nx] — columns >= p_count are zero
     lam: jax.Array  # [nx] real
     flag: jax.Array  # i32: 0/1 = ok (value of useOrtho), 2 = retry needed
+    p_count: jax.Array  # i32 — number of valid Cp columns (the
+    # reference's nretain bookkeeping, `rayleigh_ritz_modified_impl.inc:56`)
 
 
 def _scale_diag(G):
@@ -73,19 +75,37 @@ def _sentinel(H, live):
     return masking.inject_diag(H, live, big.astype(H.dtype))
 
 
-def _cp_extract(Z, nx: int, DiR: Optional[jax.Array]):
+def _cp_extract(Z, nx: int, DiR: Optional[jax.Array], n_live):
     """Duersch Alg. 7: Cp = [D_inv_R] V_perp Q, Q = QR-basis of Z1_perp^T.
 
     Z1_perp^T is the plain transpose (no conjugate — parity with the C
     code's element copy, `rayleigh_ritz_modified_impl.inc:228-235`).
+
+    Only the *live* unwanted eigenvectors participate: eigenvalues are
+    sorted ascending and dead-coordinate sentinels carry the largest
+    values, so live unwanted eigenvectors are the first (n_live - nx)
+    columns of Z_perp.  Sentinel columns are masked before the QR and the
+    result is truncated to p_count = clip(n_live - nx, 0, nx) columns —
+    otherwise QR's orthonormal-complement columns are pure sentinel
+    directions, Cp picks them up, and the next iteration's basis gets
+    numerically-zero live P columns whose Ritz pairs are spurious
+    (lambda ~ 0, residual ~ 0, falsely converged).  This is the
+    fixed-shape analog of the reference's shrinking `nretain`
+    (`rayleigh_ritz_modified_impl.inc:56`).
+
+    Returns (Cp [k, nx], p_count i32).
     """
+    k = Z.shape[0]
     Zp = Z[:, nx:]  # [k, k-nx] unwanted eigenvectors
+    zp_live = jnp.clip(n_live - nx, 0, k - nx)
+    p_count = jnp.clip(n_live - nx, 0, nx).astype(jnp.int32)
+    Zp = masking.mask_cols(Zp, zp_live)
     Z1t = jnp.swapaxes(Zp[:nx, :], 0, 1)  # [k-nx, nx]
     Q, _ = jnp.linalg.qr(Z1t)
     Cp = mm(Zp, Q)
     if DiR is not None:
         Cp = mm(DiR, Cp)
-    return Cp
+    return masking.mask_cols(Cp, p_count), p_count
 
 
 def rayleigh_ritz(
@@ -151,6 +171,7 @@ def rayleigh_ritz_modified(
     k = S.shape[1]
     m = nx
     live = masking.blocks_mask((m, m, k - 2 * m), (m, np_act, nw_act))
+    n_live = m + np_act + nw_act
     S = masking.mask_cols(S, live)
     GA = _a_gram(S, AX, A, nx, out_dtype=rr_dtype)
     sdt = S.dtype
@@ -160,8 +181,10 @@ def rayleigh_ritz_modified(
         w, Z = jnp.linalg.eigh(H)
         Cx = Z[:, :nx]
         lam = w[:nx]
-        Cp = _cp_extract(Z, nx, None)
-        return RRResult(Cx.astype(sdt), Cp.astype(sdt), lam, jnp.int32(1))
+        Cp, p_cnt = _cp_extract(Z, nx, None, n_live)
+        return RRResult(
+            Cx.astype(sdt), Cp.astype(sdt), lam, jnp.int32(1), p_cnt
+        )
 
     def chol_branch(_):
         GB = gram_self(S, B, out_dtype=rr_dtype)
@@ -181,8 +204,8 @@ def rayleigh_ritz_modified(
         w, Z = jnp.linalg.eigh(H)
         Cx = mm(DiR, Z[:, :nx])
         lam = w[:nx]
-        Cp = _cp_extract(Z, nx, DiR)
+        Cp, p_cnt = _cp_extract(Z, nx, DiR, n_live)
         flag = jnp.where(ok, jnp.int32(0), jnp.int32(2))
-        return RRResult(Cx.astype(sdt), Cp.astype(sdt), lam, flag)
+        return RRResult(Cx.astype(sdt), Cp.astype(sdt), lam, flag, p_cnt)
 
     return jax.lax.cond(use_ortho >= 1, ortho_branch, chol_branch, None)

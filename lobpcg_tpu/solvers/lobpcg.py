@@ -48,6 +48,7 @@ class _Carry(NamedTuple):
     conv: jax.Array  # i32
     use_ortho: jax.Array  # i32 (0 chol path, 1 ortho path; sticky)
     it: jax.Array  # i32
+    p_cnt: jax.Array  # i32 — valid P columns (reference's nretain)
     hist: object  # SolveHistory or None (static per config)
 
 
@@ -93,6 +94,7 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
         jnp.int32(0),
         jnp.int32(0),
         jnp.int32(0),
+        jnp.int32(0),
         hist0,
     )
 
@@ -117,7 +119,7 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
 
     def body(c: _Carry):
         it0 = c.it == 0
-        np_act = jnp.where(it0, 0, m - c.conv)
+        np_act = jnp.where(it0, 0, jnp.minimum(c.p_cnt, m - c.conv))
         nw = jnp.where(it0, jnp.int32(m), m - c.conv)
         W = c.S[:, 2 * m :]
 
@@ -188,15 +190,20 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
         convn = masking.prefix_count(res <= config.tol)
 
         # Soft-locking compaction for the next iteration
-        # (`lobpcg_impl.inc:139-145`, done here statelessly).
+        # (`lobpcg_impl.inc:139-145`, done here statelessly).  The P
+        # count drops by the newly converged prefix, and never exceeds
+        # the number of valid Cp columns this RR produced.
         act = m - convn
-        Pc = masking.shift_cols(Pn, convn, act)
+        p_next = jnp.clip(rr.p_count - convn, 0, act)
+        Pc = masking.shift_cols(Pn, convn, p_next)
         Wc = masking.shift_cols(Wres, convn, act)
         Sn = jnp.concatenate([Xn, Pc, Wc], axis=1)
 
         observe.log_iteration(config, "lobpcg", c.it, rr.lam, res, convn)
         hist = observe.history_update(c.hist, c.it, rr.lam, res, convn)
-        return _Carry(Sn, AXn, rr.lam, res, convn, use_ortho, c.it + 1, hist)
+        return _Carry(
+            Sn, AXn, rr.lam, res, convn, use_ortho, c.it + 1, p_next, hist
+        )
 
     cf = jax.lax.while_loop(cond, body, carry0)
 

@@ -100,6 +100,31 @@ def test_bsr_in_lobpcg_solver():
     )
 
 
+def test_bsr_3d_laplacian_10_eigenpairs():
+    """Full BASELINE.json config 1: standard LOBPCG, double, 3-D
+    Laplacian stencil CSR, 10 smallest eigenpairs, no preconditioner."""
+    from lobpcg_tpu import lobpcg
+    from tests.fixtures import rand_block
+
+    nx = 10
+    ip, ix, v = laplacian_3d_csr(nx, nx, nx)
+    n = nx**3
+    op = BSROperator.from_csr(ip, ix, v, block_size=8, dtype=jnp.float64)
+    nev, ss = 10, 15
+    X0 = rand_block(302, n, ss, jnp.float64)
+    r = lobpcg(op, X0, nev=nev, size_sub=ss, tol=1e-6, max_iter=500)
+    assert int(r.converged) == nev
+    h = 1.0 / (nx + 1)
+    oned = 4.0 / (h * h) * np.sin(np.arange(1, nx + 1) * np.pi * h / 2) ** 2
+    combos = np.sort(
+        (oned[:, None, None] + oned[None, :, None] + oned[None, None, :])
+        .ravel()
+    )
+    np.testing.assert_allclose(
+        np.asarray(r.eigenvalues), combos[:nev], rtol=1e-7
+    )
+
+
 def test_bsr_pallas_interpret_matches_reference():
     """Pallas BSR kernel in interpreter mode == gather/einsum reference."""
     from lobpcg_tpu.ops.pallas.bsr import (
