@@ -1,0 +1,145 @@
+"""Wall-clock-to-tolerance benchmark: indefinite LOBPCG on a BdG pencil.
+
+BASELINE.json headline: "wall-clock to tol for 150 eigenpairs at dim 4M".
+
+Workload: the reference's flagship BdG structure (`tests/test_ilobpcg.c:
+28-67`) with a quantum-well Hamiltonian K = -Lap_h + V, V = 0 inside a
+w-site window and V = barrier outside; A = diag(K, K), B = antidiag(I, I),
+B-positive start X0 = [u; u].  The well keeps the low spectrum separated
+by ~(k pi / w)^2 — resolvable in f32 at any problem dimension — while the
+operator application remains a full n-dimensional stencil SpMM, which is
+what wall-clock-to-tol actually measures.  (A bare Laplacian at dim 4M
+has its lowest modes clustered to ~1e-11 relative separation: only
+end-to-end f64 — the reference's CPU configuration — can converge 150
+distinct pairs of it.  See BASELINE.md.)
+
+Single-chip memory bound (v5e, 16 GB HBM): solver state is ~6 n*size_sub
+scalars + transients, so f32 at dim 4M supports size_sub <= ~96 on one
+chip; the 4M x 150 complex-double configuration is the multi-host target
+(scaling.py).
+
+Usage: python benchmarks/solve_bdg.py [--n 4000000] [--nev 64] [--check]
+Prints one JSON line per run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+# Make the repo importable without PYTHONPATH (which breaks the axon TPU
+# plugin registration in this environment).
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+WELL = 1024  # well width in sites
+BARRIER = 1.0  # barrier height (lattice units)
+SHIFT = 1.0  # spectrum shift: target eigenvalues are 1 + (k pi / w)^2,
+# all O(1), so f32 relative accuracy and convergence gaps are healthy at
+# any problem dimension
+
+
+def well_eigs_oracle(w: int, nev: int, barrier: float, margin: int = 2048):
+    """Low eigenvalues of the truncated well Hamiltonian (host, dense)."""
+    size = w + 2 * margin
+    V = np.full(size, barrier + SHIFT)
+    V[margin : margin + w] = SHIFT
+    H = (
+        np.diag(2.0 + V)
+        - np.diag(np.ones(size - 1), 1)
+        - np.diag(np.ones(size - 1), -1)
+    )
+    return np.linalg.eigvalsh(H)[:nev]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=4_000_000)
+    ap.add_argument("--nev", type=int, default=64)
+    ap.add_argument("--size-sub", type=int, default=0, help="0 -> nev+14")
+    ap.add_argument("--tol", type=float, default=1e-5)
+    ap.add_argument("--max-iter", type=int, default=300)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--no-precond", action="store_true")
+    ap.add_argument("--check", action="store_true",
+                    help="compare vs dense truncated-well eigenvalues")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from lobpcg_tpu import (
+        BlockAntiDiagOperator,
+        BlockDiagOperator,
+        DiagonalOperator,
+        JacobiPreconditioner,
+        Laplacian1D,
+        SolverConfig,
+        ilobpcg,
+    )
+
+    dtype = jnp.dtype(args.dtype)
+    n = args.n
+    m = n // 2
+    nev = args.nev
+    ss = args.size_sub or nev + 14
+
+    # K = tridiag[-1, 2, -1] + V; bound band [1+..., ~1.25], continuum
+    # from ~2 — a large gap, so LOBPCG converges in tens of iterations
+    # while every iteration still pays the full n-dim SpMM.
+    lo = (m - WELL) // 2
+    V = np.full(m, BARRIER + SHIFT, np.float64)
+    V[lo : lo + WELL] = SHIFT
+    Vd = jnp.asarray(V, dtype)
+    K = Laplacian1D(scale=jnp.asarray(1.0, dtype), n=m) + DiagonalOperator(Vd)
+    A = BlockDiagOperator(inner=K, copies=2)
+    B = BlockAntiDiagOperator(d=jnp.ones((m,), dtype))
+    T = None
+    if not args.no_precond:
+        tdiag = jnp.concatenate([2.0 + Vd, 2.0 + Vd])
+        T = JacobiPreconditioner(tdiag)
+
+    rng = np.random.RandomState(42)
+    u = np.zeros((m, ss), np.float32)
+    # Start inside the well (bound states live there).
+    u[lo : lo + WELL] = rng.uniform(-0.5, 0.5, size=(WELL, ss))
+    X0 = jnp.asarray(np.concatenate([u, u], axis=0), dtype)
+
+    cfg = SolverConfig(nev=nev, size_sub=ss, tol=args.tol,
+                       max_iter=args.max_iter)
+
+    # Compile once (cached), then time the solve.
+    r = ilobpcg(A, X0, B, T, config=cfg, key=jax.random.PRNGKey(0))
+    jax.block_until_ready(r.eigenvalues)
+    t0 = time.perf_counter()
+    r = ilobpcg(A, X0, B, T, config=cfg, key=jax.random.PRNGKey(0))
+    lam = np.asarray(r.eigenvalues)
+    wall = time.perf_counter() - t0
+
+    out = {
+        "metric": "ilobpcg_bdg_well_wall_clock_to_tol",
+        "value": wall,
+        "unit": "s",
+        "n": n,
+        "nev": nev,
+        "size_sub": ss,
+        "tol": args.tol,
+        "iterations": int(r.iterations),
+        "converged": int(r.converged),
+        "dtype": str(dtype),
+        "device": str(jax.devices()[0].device_kind),
+    }
+    if args.check:
+        exact = well_eigs_oracle(WELL, nev, BARRIER)
+        out["max_rel_err"] = float(
+            np.max(np.abs(lam - exact) / np.abs(exact))
+        )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
