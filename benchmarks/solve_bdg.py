@@ -67,6 +67,9 @@ def main() -> None:
     ap.add_argument("--no-precond", action="store_true")
     ap.add_argument("--check", action="store_true",
                     help="compare vs dense truncated-well eigenvalues")
+    ap.add_argument("--no-ax-cache", action="store_true",
+                    help="recompute A@X instead of carrying the cache "
+                         "(lower peak HBM, one extra SpMM per iteration)")
     args = ap.parse_args()
 
     import jax
@@ -110,7 +113,8 @@ def main() -> None:
     X0 = jnp.asarray(np.concatenate([u, u], axis=0), dtype)
 
     cfg = SolverConfig(nev=nev, size_sub=ss, tol=args.tol,
-                       max_iter=args.max_iter)
+                       max_iter=args.max_iter,
+                       use_ax_cache=not args.no_ax_cache)
 
     # Compile once (cached), then time the solve.
     r = ilobpcg(A, X0, B, T, config=cfg, key=jax.random.PRNGKey(0))
