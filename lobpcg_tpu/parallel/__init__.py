@@ -4,6 +4,11 @@ from lobpcg_tpu.parallel.sharding import (
     shard_operator,
     shard_problem,
 )
+from lobpcg_tpu.parallel.spmd_stencil import (
+    SpmdLaplacian1D,
+    stencil_matmat_spmd,
+    use_spmd_stencils,
+)
 
 __all__ = [
     "ROWS",
@@ -13,4 +18,7 @@ __all__ = [
     "shard_array",
     "shard_operator",
     "shard_problem",
+    "SpmdLaplacian1D",
+    "stencil_matmat_spmd",
+    "use_spmd_stencils",
 ]

@@ -61,10 +61,26 @@ def shard_problem(
     B=None,
     T=None,
     axis: str = ROWS,
+    spmd_stencil: bool = True,
 ):
-    """Place (A, X0, B, T) on the mesh with row partitioning."""
-    A = shard_operator(A, mesh, axis)
-    B = shard_operator(B, mesh, axis) if B is not None else None
-    T = shard_operator(T, mesh, axis) if T is not None else None
+    """Place (A, X0, B, T) on the mesh with row partitioning.
+
+    With `spmd_stencil` (default), stencil operators in the trees are
+    swapped for the explicit shard_map halo-exchange implementation
+    (parallel.spmd_stencil) instead of relying on the SPMD partitioner
+    to derive halos from pad/slice patterns.
+    """
+    from lobpcg_tpu.parallel.spmd_stencil import use_spmd_stencils
+
+    def prep(op):
+        if op is None:
+            return None
+        if spmd_stencil:
+            op = use_spmd_stencils(op, mesh, axis)
+        return shard_operator(op, mesh, axis)
+
+    A = prep(A)
+    B = prep(B)
+    T = prep(T)
     X0 = shard_array(X0, mesh, axis) if X0 is not None else None
     return A, X0, B, T
