@@ -4,6 +4,7 @@ from lobpcg_tpu.parallel.sharding import (
     shard_operator,
     shard_problem,
 )
+from lobpcg_tpu.parallel.spmd_bsr import ShardedBSROperator
 from lobpcg_tpu.parallel.spmd_stencil import (
     SpmdLaplacian1D,
     stencil_matmat_spmd,
@@ -19,6 +20,7 @@ __all__ = [
     "shard_operator",
     "shard_problem",
     "SpmdLaplacian1D",
+    "ShardedBSROperator",
     "stencil_matmat_spmd",
     "use_spmd_stencils",
 ]
