@@ -191,6 +191,11 @@ class Laplacian1D(LinearOperator):
             return stencil_matmat_pallas(
                 X, self.scale, num_segments=self.segments
             )
+        # Complex blocks take the jnp path: complex<->f32 bitcasts are
+        # unimplemented on the TPU backend (measured), so a zero-copy
+        # reinterpret into the f32 Pallas kernel is not available; the
+        # shift-add formulation below handles complex natively and XLA
+        # fuses it.
         k = X.shape[1]
         Xs = X.reshape(self.segments, self.n // self.segments, k)
         z = jnp.zeros_like(Xs[:, :1])
