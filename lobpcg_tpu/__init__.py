@@ -23,6 +23,12 @@ from lobpcg_tpu.operators.linop import (
     ShiftedOperator,
     SumOperator,
 )
+from lobpcg_tpu.operators.realify import (
+    derealify,
+    realify_operator,
+    realify_problem,
+    realify_x0,
+)
 from lobpcg_tpu.solvers.ilobpcg import ilobpcg
 from lobpcg_tpu.solvers.lobpcg import lobpcg
 from lobpcg_tpu.solvers.state import (
@@ -61,6 +67,10 @@ __all__ = [
     "LOBPCGResult",
     "ILOBPCGResult",
     "SolveHistory",
+    "realify_operator",
+    "realify_problem",
+    "realify_x0",
+    "derealify",
     "save_checkpoint",
     "load_checkpoint",
     "solve_checkpointed",
