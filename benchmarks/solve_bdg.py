@@ -13,10 +13,12 @@ has its lowest modes clustered to ~1e-11 relative separation: only
 end-to-end f64 — the reference's CPU configuration — can converge 150
 distinct pairs of it.  See BASELINE.md.)
 
-Single-chip memory bound (v5e, 16 GB HBM): solver state is ~6 n*size_sub
-scalars + transients, so f32 at dim 4M supports size_sub <= ~96 on one
-chip; the 4M x 150 complex-double configuration is the multi-host target
-(scaling.py).
+Single-chip envelope measured on v5e (16 GB HBM), f32, tol=1e-5:
+- dim 4M:  56 eigenpairs (size_sub 64) in ~77 s, 93 iterations
+- dim 1M: 150 eigenpairs (size_sub 164) in ~41 s, 37 iterations
+all at <1e-6 max relative eigenvalue error vs the dense truncated-well
+oracle.  The 4M x 150 (and complex-double) configurations exceed one
+chip's HBM and are the sharded multi-chip target (scaling.py).
 
 Usage: python benchmarks/solve_bdg.py [--n 4000000] [--nev 64] [--check]
 Prints one JSON line per run.

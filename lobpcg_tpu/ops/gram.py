@@ -65,11 +65,25 @@ def _hdot(V: jax.Array, U: jax.Array, out_dtype=None) -> jax.Array:
 
 
 def gram_self(
-    U: jax.Array, B: Optional[LinearOperator] = None, out_dtype=None
+    U: jax.Array, B: Optional[LinearOperator] = None, out_dtype=None,
+    chunk: Optional[int] = None,
 ) -> jax.Array:
-    """G = U^H B U  (B None -> U^H U).  Reference: `gram_impl.inc:49-67`."""
-    BU = apply_block_op(B, U)
-    return _hdot(U, BU, out_dtype)
+    """G = U^H B U  (B None -> U^H U).  Reference: `gram_impl.inc:49-67`.
+
+    `chunk`: assemble G column-block by column-block so only a [n, chunk]
+    B-application transient is live at a time instead of the full [n, k]
+    BU (the low-memory mode; trades extra reads of U for ~2nk fewer
+    resident scalars).
+    """
+    k = U.shape[1]
+    if chunk is None or B is None or chunk >= k:
+        BU = apply_block_op(B, U)
+        return _hdot(U, BU, out_dtype)
+    cols = []
+    for j in range(0, k, chunk):
+        BUj = B.matmat(U[:, j : j + chunk])
+        cols.append(_hdot(U, BUj, out_dtype))
+    return jnp.concatenate(cols, axis=1)
 
 
 def gram_cross(
@@ -93,6 +107,61 @@ def gram_cross_mat(
     """G = V^H mat U with an explicit dense metric.
     Reference: `src/gram/gram_mat_impl.inc:64-89`."""
     return _hdot(V, mm(mat, U), out_dtype)
+
+
+def as_blocks(S, nx: int):
+    """Normalize a subspace argument to a tuple of column blocks.
+
+    Kernels accept either a materialized [n, 3m] array (convenient for
+    direct calls/tests) or a tuple of [n, m] blocks (X, P, W) — the
+    driver always passes blocks so the concatenated S never exists in
+    HBM (at capacity-bound sizes the S copies were the largest
+    allocations in the solve).
+    """
+    if isinstance(S, (tuple, list)):
+        return tuple(S)
+    k = S.shape[1]
+    return tuple(S[:, j : j + nx] for j in range(0, k, nx))
+
+
+def blocks_width(S) -> int:
+    if isinstance(S, (tuple, list)):
+        return sum(b.shape[1] for b in S)
+    return S.shape[1]
+
+
+def blocks_dtype(S):
+    if isinstance(S, (tuple, list)):
+        return S[0].dtype
+    return S.dtype
+
+
+def bh_dot(blocks, Y: jax.Array, out_dtype=None) -> jax.Array:
+    """[sum_i k_i, c] stack of blocks_i^H Y (full-precision accumulate)."""
+    return jnp.concatenate([_hdot(b, Y, out_dtype) for b in blocks], axis=0)
+
+
+def b_mm(blocks, C: jax.Array) -> jax.Array:
+    """Sum_i blocks_i @ C[rows_i] — project-back without materializing S."""
+    out = None
+    j = 0
+    for b in blocks:
+        w = b.shape[1]
+        t = mm(b, C[j : j + w])
+        out = t if out is None else out + t
+        j += w
+    return out
+
+
+def gram_blocks(blocks, B: Optional[LinearOperator] = None,
+                out_dtype=None) -> jax.Array:
+    """G = S^H B S over column blocks: only one [n, m] B-application
+    transient is live at a time and S is never concatenated."""
+    cols = []
+    for b in blocks:
+        Bb = apply_block_op(B, b)
+        cols.append(bh_dot(blocks, Bb, out_dtype))
+    return jnp.concatenate(cols, axis=1)
 
 
 def frob_norm(X: jax.Array) -> jax.Array:

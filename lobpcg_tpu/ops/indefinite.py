@@ -22,7 +22,14 @@ import jax
 import jax.numpy as jnp
 
 from lobpcg_tpu.ops import masking
-from lobpcg_tpu.ops.gram import frob_norm, gram_self, mm
+from lobpcg_tpu.ops.gram import (
+    as_blocks,
+    blocks_dtype,
+    frob_norm,
+    gram_blocks,
+    gram_self,
+    mm,
+)
 from lobpcg_tpu.ops.ortho import ortho_indefinite_mat
 from lobpcg_tpu.ops.pencil import pencil_eig
 from lobpcg_tpu.ops.rayleigh import _a_gram
@@ -111,14 +118,17 @@ def indefinite_rayleigh_ritz_modified(
     fallback (svqb_mat-stabilized Cx_ortho).
     Reference: `indefinite_rr_modified_impl.inc:58-255`.
     """
-    k = S.shape[1]
+    blocks = as_blocks(S, nx)
+    k = sum(b.shape[1] for b in blocks)
     m = nx
     live = masking.blocks_mask((m, m, k - 2 * m), (m, np_act, nw_act))
-    S = masking.mask_cols(S, live)
-    sdt = S.dtype
+    sdt = blocks_dtype(S)
 
-    GA = _a_gram(S, AX, A, nx, out_dtype=rr_dtype)
-    GB = gram_self(S, B, out_dtype=rr_dtype)
+    # No tall [n, 3m] masking copy (see rayleigh_ritz_modified): the
+    # inject_diag below zeroes dead Gram rows/cols exactly; blocks keep
+    # the concatenated S out of HBM entirely.
+    GA = _a_gram(blocks, AX, A, out_dtype=rr_dtype)
+    GB = gram_blocks(blocks, B, out_dtype=rr_dtype)
     # Dead coordinates: unit pencil eigenpair (lambda = 1, sig would be
     # +1); detected below via coordinate mass and forced to sig = 0 so
     # the sort pushes them past every live eigenpair.

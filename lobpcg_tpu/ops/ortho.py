@@ -21,7 +21,11 @@ import jax.numpy as jnp
 from lobpcg_tpu.ops import masking
 from lobpcg_tpu.ops.gram import (
     apply_block_op,
+    as_blocks,
+    b_mm,
+    bh_dot,
     frob_norm,
+    gram_blocks,
     gram_cross,
     gram_cross_mat,
     gram_self,
@@ -37,6 +41,17 @@ def _guard(x, eps):
     """Reference pattern: norms below eps are replaced by 1 to avoid
     dividing by ~0 (`ortho_drop_impl.inc:69`)."""
     return jnp.where(x < eps, jnp.ones_like(x), x)
+
+
+def _bnorm(B, vb):
+    """||B V||_F over V's column blocks — one [n, m] B-application
+    transient at a time."""
+    total = None
+    for b in vb:
+        Bb = apply_block_op(B, b)
+        t = jnp.sum(jnp.abs(Bb) ** 2).real
+        total = t if total is None else total + t
+    return jnp.sqrt(total)
 
 
 def _svqb_inner_loop(
@@ -88,13 +103,18 @@ def ortho_drop(
     """B-orthogonalize U against V (B positive semi-definite), with
     column dropping.  Returns (U_new, retained_count).
 
+    V is the external basis — a [n, kv] array or a tuple of blocks
+    (X, P); dead V columns are exactly zero by the driver invariant
+    (soft locking writes zero-masked P), so no tall masking copy is
+    needed (`nv` stays in the signature for the contract).
     Reference: `src/ortho/ortho_drop_impl.inc:43-125`.
     """
     nu = jnp.int32(nu)
-    V = masking.mask_cols(V, nv)
+    del nv
+    vb = as_blocks(V, U.shape[1])
     U = masking.mask_cols(U, nu)
 
-    BV_norm = _guard(frob_norm(apply_block_op(B, V)), eps_ortho)
+    BV_norm = _guard(_bnorm(B, vb), eps_ortho)
 
     def cond(carry):
         _, _, outer, done = carry
@@ -103,8 +123,9 @@ def ortho_drop(
     def body(carry):
         U, nu, outer, _ = carry
         # Project: U -= V (V^H B U)
-        coef = gram_cross(V, U, B)
-        U = U - mm(V, coef)
+        BU = apply_block_op(B, U)
+        coef = bh_dot(vb, BU)
+        U = U - b_mm(vb, coef)
         U = masking.mask_cols(U, nu)
         # Inner svqb loop
         U, nu = _svqb_inner_loop(
@@ -112,7 +133,7 @@ def ortho_drop(
             rr_dtype=rr_dtype,
         )
         # Check ||V^H B U||_F
-        coef2 = gram_cross(V, U, B)
+        coef2 = bh_dot(vb, apply_block_op(B, U))
         U_norm = _guard(frob_norm(U), eps_ortho)
         rerr = frob_norm(coef2) / (BV_norm * U_norm)
         return U, nu, outer + 1, rerr < eps_ortho
@@ -140,20 +161,21 @@ def ortho_indefinite(
     """Signature-weighted B-orthogonalization of U against V (B indefinite).
 
     Projection uses the B-orthogonal projector V sig (V^H B U) where
-    sig = V^H B V (computed when not supplied).
+    sig = V^H B V (computed when not supplied).  V may be a tuple of
+    blocks (X, P); dead V columns are exactly zero (driver invariant).
     Reference: `src/ortho/ortho_indefinite_impl.inc:71-169`.
     """
     nu = jnp.int32(nu)
-    V = masking.mask_cols(V, nv)
+    del nv
+    vb = as_blocks(V, U.shape[1])
     U = masking.mask_cols(U, nu)
 
     if sig is None:
         # sig = V^H B V; dead V columns give exactly-zero rows/cols, which
         # makes the projector vanish on them — no injection needed.
-        sig = gram_self(V, B)
+        sig = gram_blocks(vb, B)
 
-    BV = apply_block_op(B, V)
-    BV_norm = _guard(frob_norm(BV), eps_ortho)
+    BV_norm = _guard(_bnorm(B, vb), eps_ortho)
 
     def cond(carry):
         _, _, outer, done = carry
@@ -161,15 +183,15 @@ def ortho_indefinite(
 
     def body(carry):
         U, nu, outer, _ = carry
-        coef = gram_cross(V, U, B)
+        coef = bh_dot(vb, apply_block_op(B, U))
         tmp = mm(sig, coef)
-        U = U - mm(V, tmp)
+        U = U - b_mm(vb, tmp)
         U = masking.mask_cols(U, nu)
         U, nu = _svqb_inner_loop(
             U, nu, B, eps_ortho, eps_drop, max_inner, indefinite=True,
             rr_dtype=rr_dtype,
         )
-        coef2 = gram_cross(V, U, B)
+        coef2 = bh_dot(vb, apply_block_op(B, U))
         U_norm = _guard(frob_norm(U), eps_ortho)
         rerr = frob_norm(coef2) / (BV_norm * U_norm)
         return U, nu, outer + 1, rerr < eps_ortho

@@ -27,7 +27,15 @@ import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 from lobpcg_tpu.ops import masking
-from lobpcg_tpu.ops.gram import frob_norm, gram_self, mm
+from lobpcg_tpu.ops.gram import (
+    as_blocks,
+    bh_dot,
+    blocks_dtype,
+    frob_norm,
+    gram_blocks,
+    gram_self,
+    mm,
+)
 from lobpcg_tpu.operators.linop import LinearOperator
 
 
@@ -133,19 +141,17 @@ def rayleigh_ritz(
     return Cx.astype(X.dtype), w
 
 
-def _a_gram(S, AX, A, nx: int, out_dtype=None):
-    """G_A = S^H [AX | A (P|W)]; reuses the AX cache for the X block
-    (`rayleigh_ritz_modified_impl.inc:71-78, 189-196`)."""
-    if AX is None:
-        AS = A.matmat(S)
-    else:
-        APW = A.matmat(S[:, nx:])
-        AS = jnp.concatenate([AX, APW], axis=1)
-    dt = jnp.dtype(out_dtype) if out_dtype is not None else S.dtype
-    return jnp.matmul(
-        S.conj().T, AS, precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=dt,
-    )
+def _a_gram(blocks, AX, A, out_dtype=None):
+    """G_A = S^H A S assembled per column block of S = [X | P | W];
+    reuses the AX cache for the X block (`rayleigh_ritz_modified_impl.inc:
+    71-78, 189-196`).  Only one [n, m] A-application transient is live at
+    a time and S is never concatenated.
+    """
+    cols = []
+    for i, b in enumerate(blocks):
+        Ab = AX if (i == 0 and AX is not None) else A.matmat(b)
+        cols.append(bh_dot(blocks, Ab, out_dtype))
+    return jnp.concatenate(cols, axis=1)
 
 
 def rayleigh_ritz_modified(
@@ -163,18 +169,26 @@ def rayleigh_ritz_modified(
 ) -> RRResult:
     """Per-iteration RR over the masked [X|P|W] subspace.
 
-    np_act / nw_act are the live P / W column counts; X is always fully
-    live.  `use_ortho` (traced i32) selects the branch; the Cholesky
-    branch reports flag=2 when potrf fails or rcond < tol_skip, matching
-    `rayleigh_ritz_modified_impl.inc:144-178`.
+    S is the search subspace, either a materialized [n, 3m] array or a
+    tuple of blocks (X, P, W) — the driver passes blocks so S never
+    exists in HBM.  np_act / nw_act are the live P / W column counts; X
+    is always fully live.  `use_ortho` (traced i32) selects the branch;
+    the Cholesky branch reports flag=2 when potrf fails or
+    rcond < tol_skip, matching `rayleigh_ritz_modified_impl.inc:144-178`.
     """
-    k = S.shape[1]
+    blocks = as_blocks(S, nx)
+    k = sum(b.shape[1] for b in blocks)
     m = nx
     live = masking.blocks_mask((m, m, k - 2 * m), (m, np_act, nw_act))
     n_live = m + np_act + nw_act
-    S = masking.mask_cols(S, live)
-    GA = _a_gram(S, AX, A, nx, out_dtype=rr_dtype)
-    sdt = S.dtype
+    # No tall [n, 3m] masking copy: dead-coordinate exclusion happens on
+    # the k x k Grams via inject_diag (zeroing dead rows/cols exactly),
+    # which costs O(k^2) instead of two resident n x 3m buffers — the
+    # single largest HBM consumer at capacity-bound sizes.
+    GA = masking.inject_diag(
+        _a_gram(blocks, AX, A, out_dtype=rr_dtype), live, 0.0
+    )
+    sdt = blocks_dtype(S)
 
     def ortho_branch(_):
         H = _sentinel(GA, live)
@@ -187,7 +201,7 @@ def rayleigh_ritz_modified(
         )
 
     def chol_branch(_):
-        GB = gram_self(S, B, out_dtype=rr_dtype)
+        GB = gram_blocks(blocks, B, out_dtype=rr_dtype)
         GB = masking.inject_diag(GB, live, 1.0)
         D, Gs = _scale_diag(GB)
         L = jnp.linalg.cholesky(Gs)

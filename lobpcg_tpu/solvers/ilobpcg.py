@@ -26,7 +26,7 @@ from lobpcg_tpu.config import (
 )
 from lobpcg_tpu.operators.linop import LinearOperator
 from lobpcg_tpu.ops import masking
-from lobpcg_tpu.ops.gram import mm
+from lobpcg_tpu.ops.gram import b_mm, mm
 from lobpcg_tpu.ops.indefinite import (
     indefinite_rayleigh_ritz,
     indefinite_rayleigh_ritz_modified,
@@ -44,7 +44,10 @@ from lobpcg_tpu.utils.prng import fill_random
 
 
 class _Carry(NamedTuple):
-    S: jax.Array  # [n, 3m]
+    # Blockwise state — the concatenated [n, 3m] S never exists in HBM.
+    X: jax.Array  # [n, m]
+    P: jax.Array  # [n, m], active-prefix compacted (dead cols zero)
+    W: jax.Array  # [n, m], active-prefix compacted (dead cols zero)
     AX: jax.Array  # [n, m]
     lam: jax.Array  # [m] real
     sig: jax.Array  # [m] i32 signature of the X block
@@ -85,10 +88,10 @@ def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig):
     W = get_residual(X, AX, lam0, A, B)
     res = get_residual_norm(W, lam0, a_norm, b_norm, nev)
 
-    S = jnp.concatenate([X, jnp.zeros((n, m), dtype), W], axis=1)
+    P0 = jnp.zeros((n, m), dtype)
     hist0 = observe.history_init(config, m, lam0.dtype, res.dtype)
     carry0 = _Carry(
-        S, AX, lam0, sig0, res, jnp.int32(0), jnp.int32(0), hist0
+        X, P0, W, AX, lam0, sig0, res, jnp.int32(0), jnp.int32(0), hist0
     )
 
     def cond(c: _Carry):
@@ -98,25 +101,24 @@ def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig):
         it0 = c.it == 0
         np_act = jnp.where(it0, 0, m - c.conv)
         nw = jnp.where(it0, jnp.int32(m), m - c.conv)
-        W = c.S[:, 2 * m :]
+        W = c.W
 
         if T is not None:
             W = masking.mask_cols(T.matmat(W), nw)
 
         # Indefinite orthogonalization against [X, P_active], every
         # iteration (`ilobpcg_impl.inc:168-178`).
-        V = c.S[:, : 2 * m]
         W, nw = ortho_indefinite(
-            W, nw, V, m + np_act, B,
+            W, nw, (c.X, c.P), m + np_act, B,
             eps_ortho=eps_ortho, eps_drop=eps_drop,
             max_outer=config.max_outer, max_inner=config.max_inner,
             rr_dtype=rrdt,
         )
-        S = jnp.concatenate([c.S[:, : 2 * m], W], axis=1)
+        blocks = (c.X, c.P, W)
 
         AX = c.AX if config.use_ax_cache else None
         rr = indefinite_rayleigh_ritz_modified(
-            S, AX, np_act, nw, A, B,
+            blocks, AX, np_act, nw, A, B,
             nx=m, method=config.rr_method, tiny=tn, quality_tol=qt,
             eps_ortho=eps_ortho, eps_drop=eps_drop,
             max_outer=config.max_outer, max_inner=config.max_inner,
@@ -124,28 +126,25 @@ def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig):
         )
 
         def project_good(_):
-            C = jnp.concatenate([rr.Cx, rr.Cp], axis=1)
-            XP = mm(S, C)
-            Xn = XP[:, :m]
+            Xn = b_mm(blocks, rr.Cx)
+            Pn = b_mm(blocks, rr.Cp)
             AXn = A.matmat(Xn)
             Wres = get_residual(Xn, AXn, rr.lam, A, B)
-            return XP, AXn, Wres
+            return Xn, Pn, AXn, Wres
 
         def project_poor(_):
             # Residual from the accurate basis; iterate the stable one
             # (`ilobpcg_impl.inc:228-256`).
-            X_acc = mm(S, rr.Cx)
-            C = jnp.concatenate([rr.Cx_ortho, rr.Cp], axis=1)
-            XP = mm(S, C)
-            AXn = A.matmat(XP[:, :m])
+            X_acc = b_mm(blocks, rr.Cx)
+            Xn = b_mm(blocks, rr.Cx_ortho)
+            Pn = b_mm(blocks, rr.Cp)
+            AXn = A.matmat(Xn)
             Wres = get_residual(X_acc, None, rr.lam, A, B)
-            return XP, AXn, Wres
+            return Xn, Pn, AXn, Wres
 
-        XP, AXn, Wres = jax.lax.cond(
+        Xn, Pn, AXn, Wres = jax.lax.cond(
             rr.quality == 1, project_good, project_poor, None
         )
-        Xn = XP[:, :m]
-        Pn = XP[:, m:]
 
         res = get_residual_norm(Wres, rr.lam, a_norm, b_norm, nev)
         convn = masking.prefix_count(res <= config.tol)
@@ -153,24 +152,27 @@ def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig):
         act = m - convn
         Pc = masking.shift_cols(Pn, convn, act)
         Wc = masking.shift_cols(Wres, convn, act)
-        Sn = jnp.concatenate([Xn, Pc, Wc], axis=1)
 
         observe.log_iteration(config, "ilobpcg", c.it, rr.lam, res, convn)
         hist = observe.history_update(c.hist, c.it, rr.lam, res, convn)
         return _Carry(
-            Sn, AXn, rr.lam, rr.sig[:m], res, convn, c.it + 1, hist
+            Xn, Pc, Wc, AXn, rr.lam, rr.sig[:m], res, convn, c.it + 1,
+            hist
         )
 
     cf = jax.lax.while_loop(cond, body, carry0)
 
     return ILOBPCGResult(
         eigenvalues=cf.lam[:nev],
-        eigenvectors=cf.S[:, :nev],
+        # eigenvectors would duplicate a slice of `basis` in the jitted
+        # output (an extra n*nev HBM buffer live at solve peak); the
+        # public wrapper slices it lazily after temps are freed.
+        eigenvectors=None,
         residual_norms=cf.res,
         signature=cf.sig[:nev],
         converged=cf.conv,
         iterations=cf.it,
-        basis=cf.S[:, :m],
+        basis=cf.X,
         history=cf.hist,
     )
 
@@ -213,4 +215,5 @@ def ilobpcg(
         raise ValueError(
             f"X0 has {X0.shape[1]} columns, expected size_sub={config.size_sub}"
         )
-    return _ilobpcg_jit(A, B, T, X0, key, config)
+    r = _ilobpcg_jit(A, B, T, X0, key, config)
+    return r._replace(eigenvectors=r.basis[:, : config.nev])

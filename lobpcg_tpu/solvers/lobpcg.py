@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from lobpcg_tpu.config import SolverConfig, validate_problem
 from lobpcg_tpu.operators.linop import LinearOperator
 from lobpcg_tpu.ops import masking
-from lobpcg_tpu.ops.gram import mm
+from lobpcg_tpu.ops.gram import b_mm, mm
 from lobpcg_tpu.ops.ortho import ortho_drop
 from lobpcg_tpu.ops.rayleigh import (
     RRResult,
@@ -41,7 +41,12 @@ from lobpcg_tpu.utils.prng import fill_random
 
 
 class _Carry(NamedTuple):
-    S: jax.Array  # [n, 3m] = [X | P | W], P/W active-prefix compacted
+    # X/P/W travel as separate blocks — the concatenated [n, 3m] S never
+    # exists in HBM (at capacity-bound sizes XLA's copies of S were the
+    # largest allocations in the solve).
+    X: jax.Array  # [n, m]
+    P: jax.Array  # [n, m], active-prefix compacted (dead cols zero)
+    W: jax.Array  # [n, m], active-prefix compacted (dead cols zero)
     AX: jax.Array  # [n, m] cached A @ X
     lam: jax.Array  # [m] real
     res: jax.Array  # [nev] real
@@ -84,10 +89,12 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
     W = get_residual(X, AX, lam, A, B)
     res = get_residual_norm(W, lam, a_norm, b_norm, nev)
 
-    S = jnp.concatenate([X, jnp.zeros((n, m), dtype), W], axis=1)
+    P0 = jnp.zeros((n, m), dtype)
     hist0 = observe.history_init(config, m, lam.dtype, res.dtype)
     carry0 = _Carry(
-        S,
+        X,
+        P0,
+        W,
         AX,
         lam,
         res,
@@ -98,13 +105,12 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
         hist0,
     )
 
-    def do_ortho(W, nw, S, np_act):
+    def do_ortho(W, nw, X, P, np_act):
         # Orthogonalize W against [X, P_active] (`lobpcg_impl.inc:158-166`).
-        V = S[:, : 2 * m]
         return ortho_drop(
             W,
             nw,
-            V,
+            (X, P),
             m + np_act,
             B,
             eps_ortho=eps_ortho,
@@ -121,7 +127,7 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
         it0 = c.it == 0
         np_act = jnp.where(it0, 0, jnp.minimum(c.p_cnt, m - c.conv))
         nw = jnp.where(it0, jnp.int32(m), m - c.conv)
-        W = c.S[:, 2 * m :]
+        W = c.W
 
         # Preconditioner (`lobpcg_impl.inc:152-155`).
         if T is not None:
@@ -132,13 +138,12 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
             c.use_ortho >= 1,
             lambda args: do_ortho(*args),
             lambda args: (args[0], args[1]),
-            (W, nw, c.S, np_act),
+            (W, nw, c.X, c.P, np_act),
         )
-        S = jnp.concatenate([c.S[:, : 2 * m], W], axis=1)
 
         AX = c.AX if config.use_ax_cache else None
         rr = rayleigh_ritz_modified(
-            S,
+            (c.X, c.P, W),
             AX,
             np_act,
             nw,
@@ -153,11 +158,10 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
         # Cholesky/cond failure: orthogonalize W and retry with the ortho
         # branch (`lobpcg_impl.inc:180-196`).
         def retry(args):
-            S, W, nw = args
-            W2, nw2 = do_ortho(W, nw, S, np_act)
-            S2 = jnp.concatenate([S[:, : 2 * m], W2], axis=1)
+            W, nw = args
+            W2, nw2 = do_ortho(W, nw, c.X, c.P, np_act)
             rr2 = rayleigh_ritz_modified(
-                S2,
+                (c.X, c.P, W2),
                 AX,
                 np_act,
                 nw2,
@@ -168,21 +172,21 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
                 tol_skip=config.tol_skip,
                 rr_dtype=rrdt,
             )
-            return rr2, S2, jnp.int32(1)
+            return rr2, W2, jnp.int32(1)
 
         def no_retry(args):
-            S, W, nw = args
-            return rr, S, jnp.maximum(c.use_ortho, rr.flag)
+            W, nw = args
+            return rr, W, jnp.maximum(c.use_ortho, rr.flag)
 
-        rr, S, use_ortho = jax.lax.cond(
-            rr.flag == 2, retry, no_retry, (S, W, nw)
+        rr, W, use_ortho = jax.lax.cond(
+            rr.flag == 2, retry, no_retry, (W, nw)
         )
 
-        # Project back [X, P] = S [Cx | Cp]  (`lobpcg_impl.inc:204-208`).
-        C = jnp.concatenate([rr.Cx, rr.Cp], axis=1)
-        XP = _mm(S, C)
-        Xn = XP[:, :m]
-        Pn = XP[:, m:]
+        # Project back [X, P] = S [Cx | Cp]  (`lobpcg_impl.inc:204-208`),
+        # blockwise: no S, no XP concat.
+        blocks = (c.X, c.P, W)
+        Xn = b_mm(blocks, rr.Cx)
+        Pn = b_mm(blocks, rr.Cp)
 
         AXn = A.matmat(Xn)
         Wres = get_residual(Xn, AXn, rr.lam, A, B)
@@ -197,23 +201,26 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
         p_next = jnp.clip(rr.p_count - convn, 0, act)
         Pc = masking.shift_cols(Pn, convn, p_next)
         Wc = masking.shift_cols(Wres, convn, act)
-        Sn = jnp.concatenate([Xn, Pc, Wc], axis=1)
 
         observe.log_iteration(config, "lobpcg", c.it, rr.lam, res, convn)
         hist = observe.history_update(c.hist, c.it, rr.lam, res, convn)
         return _Carry(
-            Sn, AXn, rr.lam, res, convn, use_ortho, c.it + 1, p_next, hist
+            Xn, Pc, Wc, AXn, rr.lam, res, convn, use_ortho, c.it + 1,
+            p_next, hist
         )
 
     cf = jax.lax.while_loop(cond, body, carry0)
 
     return LOBPCGResult(
         eigenvalues=cf.lam[:nev],
-        eigenvectors=cf.S[:, :nev],
+        # eigenvectors would duplicate a slice of `basis` in the jitted
+        # output (an extra n*nev HBM buffer live at solve peak); the
+        # public wrapper slices it lazily after temps are freed.
+        eigenvectors=None,
         residual_norms=cf.res,
         converged=cf.conv,
         iterations=cf.it,
-        basis=cf.S[:, :m],
+        basis=cf.X,
         history=cf.hist,
     )
 
@@ -254,4 +261,5 @@ def lobpcg(
         raise ValueError(
             f"X0 has {X0.shape[1]} columns, expected size_sub={config.size_sub}"
         )
-    return _lobpcg_jit(A, B, T, X0, key, config)
+    r = _lobpcg_jit(A, B, T, X0, key, config)
+    return r._replace(eigenvectors=r.basis[:, : config.nev])
