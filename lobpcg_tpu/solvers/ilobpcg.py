@@ -88,6 +88,10 @@ def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig):
     W = get_residual(X, AX, lam0, A, B)
     res = get_residual_norm(W, lam0, a_norm, b_norm, nev)
 
+    # Cache off -> dummy in the carry (see lobpcg.py).
+    if not config.use_ax_cache:
+        AX = jnp.zeros((1, 1), dtype)
+
     P0 = jnp.zeros((n, m), dtype)
     hist0 = observe.history_init(config, m, lam0.dtype, res.dtype)
     carry0 = _Carry(
@@ -130,6 +134,8 @@ def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig):
             Pn = b_mm(blocks, rr.Cp)
             AXn = A.matmat(Xn)
             Wres = get_residual(Xn, AXn, rr.lam, A, B)
+            if not config.use_ax_cache:
+                AXn = jnp.zeros((1, 1), dtype)
             return Xn, Pn, AXn, Wres
 
         def project_poor(_):
@@ -138,7 +144,10 @@ def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig):
             X_acc = b_mm(blocks, rr.Cx)
             Xn = b_mm(blocks, rr.Cx_ortho)
             Pn = b_mm(blocks, rr.Cp)
-            AXn = A.matmat(Xn)
+            AXn = (
+                A.matmat(Xn) if config.use_ax_cache
+                else jnp.zeros((1, 1), dtype)
+            )
             Wres = get_residual(X_acc, None, rr.lam, A, B)
             return Xn, Pn, AXn, Wres
 

@@ -89,6 +89,12 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
     W = get_residual(X, AX, lam, A, B)
     res = get_residual_norm(W, lam, a_norm, b_norm, nev)
 
+    # With the cache off, the carry holds a dummy instead of the n x m
+    # AX block (2 n*m resident scalars at while-loop double-buffering) —
+    # the A-Gram and residual recompute A@X per iteration instead.
+    if not config.use_ax_cache:
+        AX = jnp.zeros((1, 1), dtype)
+
     P0 = jnp.zeros((n, m), dtype)
     hist0 = observe.history_init(config, m, lam.dtype, res.dtype)
     carry0 = _Carry(
@@ -190,6 +196,8 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
 
         AXn = A.matmat(Xn)
         Wres = get_residual(Xn, AXn, rr.lam, A, B)
+        if not config.use_ax_cache:
+            AXn = jnp.zeros((1, 1), dtype)
         res = get_residual_norm(Wres, rr.lam, a_norm, b_norm, nev)
         convn = masking.prefix_count(res <= config.tol)
 
