@@ -23,6 +23,7 @@ from lobpcg_tpu.operators.linop import (
     ShiftedOperator,
     SumOperator,
 )
+from lobpcg_tpu.operators.chebyshev import ChebyshevFilter
 from lobpcg_tpu.operators.realify import (
     derealify,
     realify_operator,
@@ -53,6 +54,7 @@ __all__ = [
     "DenseOperator",
     "DiagonalOperator",
     "JacobiPreconditioner",
+    "ChebyshevFilter",
     "CallableOperator",
     "Laplacian1D",
     "BlockDiagOperator",
