@@ -90,6 +90,28 @@ def svqb(
     return masking.mask_cols(U_new, n_kept), n_kept
 
 
+def robust_basis_init(X, B, key, *, tau, rr_dtype=None):
+    """Full-rank B-orthonormal start basis from an arbitrary X0.
+
+    SVQB with dropping removes dependent/zero columns; the dropped slots
+    are refilled with random data and one more SVQB pass orthonormalizes
+    the result.  Fixed shapes throughout (no cond): if X0 was already
+    full rank the refill is a no-op.  This strengthens the reference,
+    which only randomizes an all-zero X0 (`lobpcg_impl.inc:92-96`) and
+    lets a singular start Gram reach Cholesky unchecked (its
+    CODE_REVIEW.md C8).
+    """
+    from lobpcg_tpu.utils.prng import fill_random
+
+    m = X.shape[1]
+    X1, kept = svqb(X, jnp.int32(m), B, tau=tau, drop=True, rr_dtype=rr_dtype)
+    rand = fill_random(key, X.shape, X.dtype)
+    live = masking.as_mask(m, kept)
+    X2 = jnp.where(live[None, :], X1, rand)
+    X3, _ = svqb(X2, jnp.int32(m), B, tau=tau, drop=False, rr_dtype=rr_dtype)
+    return X3
+
+
 def svqb_mat(
     U: jax.Array,
     mat: jax.Array,

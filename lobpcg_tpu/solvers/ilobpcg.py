@@ -37,7 +37,7 @@ from lobpcg_tpu.ops.residual import (
     get_residual,
     get_residual_norm,
 )
-from lobpcg_tpu.ops.svqb import svqb
+from lobpcg_tpu.ops.svqb import robust_basis_init, svqb
 from lobpcg_tpu.solvers import observe
 from lobpcg_tpu.solvers.state import ILOBPCGResult
 from lobpcg_tpu.utils.prng import fill_random
@@ -68,7 +68,7 @@ def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig):
     tn = tiny(dtype if rrdt is None else rrdt)
     qt = quality_tol(dtype)
 
-    k_a, k_b, k_x = jax.random.split(key, 3)
+    k_a, k_b, k_x, k_r = jax.random.split(key, 4)
     a_norm = estimate_norm(A, k_a, config.norm_iters)
     b_norm = estimate_norm(B, k_b, config.norm_iters)
 
@@ -76,8 +76,9 @@ def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig):
 
     X = fill_random(k_x, (n, m), dtype) if X0 is None else X0.astype(dtype)
 
-    # B-orthonormalize the start basis (`ilobpcg_impl.inc:101-102`).
-    X, _ = svqb(X, m, B, tau=eps_drop, drop=False, rr_dtype=rrdt)
+    # B-orthonormalize the start basis with rank repair
+    # (`ilobpcg_impl.inc:101-102` plus dropped-column refill).
+    X = robust_basis_init(X, B, k_r, tau=eps_drop, rr_dtype=rrdt)
 
     # Initial indefinite RR (`ilobpcg_impl.inc:105-109`).
     Cx0, lam0, sig0 = indefinite_rayleigh_ritz(

@@ -30,6 +30,7 @@ from lobpcg_tpu.ops.rayleigh import (
     rayleigh_ritz,
     rayleigh_ritz_modified,
 )
+from lobpcg_tpu.ops.svqb import robust_basis_init
 from lobpcg_tpu.ops.residual import (
     estimate_norm,
     get_residual,
@@ -70,7 +71,7 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
     eps_ortho, eps_drop = config.resolved_eps(dtype)
     rrdt = config.resolved_rr_dtype(dtype)
 
-    k_a, k_b, k_x = jax.random.split(key, 3)
+    k_a, k_b, k_x, k_r = jax.random.split(key, 4)
     a_norm = estimate_norm(A, k_a, config.norm_iters)
     b_norm = (
         estimate_norm(B, k_b, config.norm_iters)
@@ -81,6 +82,11 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
     observe.log_start(config, "lobpcg", a_norm, b_norm)
 
     X = fill_random(k_x, (n, m), dtype) if X0 is None else X0.astype(dtype)
+
+    # Rank-repair + B-orthonormalization of the start basis (dependent /
+    # zero X0 columns are dropped, refilled randomly, re-orthonormalized;
+    # robustness the reference lacks, its CODE_REVIEW.md C8).
+    X = robust_basis_init(X, B, k_r, tau=eps_drop, rr_dtype=rrdt)
 
     # Initial Rayleigh-Ritz + projection (`lobpcg_impl.inc:99-104`).
     Cx0, lam = rayleigh_ritz(X, A, B, rr_dtype=rrdt)

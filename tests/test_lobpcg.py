@@ -159,3 +159,48 @@ def test_warm_start_resume():
     r2 = lobpcg(A, X_resume, nev=nev, size_sub=m, tol=1e-9, max_iter=200)
     assert int(r2.converged) == nev
     assert int(r2.iterations) <= int(r1.iterations)
+
+
+def test_rank_deficient_start_basis():
+    """BASELINE config 2: rank-deficient search space — X0 with duplicated
+    and zero columns still converges (SVQB drop + ortho retry at the
+    solver level)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests.fixtures import laplacian_exact, laplacian_op, rand_block
+
+    n, nev, ss = 100, 3, 6
+    A = laplacian_op(n, jnp.float64)
+    X = np.asarray(rand_block(13, n, ss, jnp.float64)).copy()
+    X[:, 3] = X[:, 0]  # duplicate
+    X[:, 4] = 0.0      # dead column
+    X[:, 5] = 2.0 * X[:, 1]  # linearly dependent
+    r = lobpcg(A, jnp.asarray(X), nev=nev, size_sub=ss, tol=1e-7,
+               max_iter=300)
+    assert int(r.converged) == nev
+    exact = laplacian_exact(np.arange(1, nev + 1))
+    rel = np.abs(np.asarray(r.eigenvalues) - exact) / exact
+    assert np.all(rel < 1e-2), rel
+
+
+def test_chebyshev_preconditioned_solver():
+    """ChebyshevFilter in the reference's T slot, solver level."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lobpcg_tpu import ChebyshevFilter
+    from lobpcg_tpu.ops.residual import estimate_norm
+    from tests.fixtures import laplacian_exact, laplacian_op, rand_block
+
+    n, nev, ss = 400, 3, 6
+    A = laplacian_op(n, jnp.float64)
+    hi = float(estimate_norm(A, jax.random.PRNGKey(1), 20)) * 1.05
+    T = ChebyshevFilter(op=A, lo=jnp.float64(hi / 50), hi=jnp.float64(hi),
+                        degree=10)
+    r = lobpcg(A, rand_block(3, n, ss, jnp.float64), T=T, nev=nev,
+               size_sub=ss, tol=1e-7, max_iter=200)
+    assert int(r.converged) == nev
+    exact = laplacian_exact(np.arange(1, nev + 1))
+    assert np.all(np.abs(np.asarray(r.eigenvalues) - exact) / exact < 1e-2)
