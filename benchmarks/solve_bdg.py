@@ -69,6 +69,9 @@ def main() -> None:
     ap.add_argument("--no-precond", action="store_true")
     ap.add_argument("--check", action="store_true",
                     help="compare vs dense truncated-well eigenvalues")
+    ap.add_argument("--cheb", type=int, default=0, metavar="DEGREE",
+                    help="Chebyshev approximate-inverse preconditioner of "
+                         "the given degree (0 = plain Jacobi/none)")
     ap.add_argument("--no-ax-cache", action="store_true",
                     help="recompute A@X instead of carrying the cache "
                          "(lower peak HBM, one extra SpMM per iteration)")
@@ -104,7 +107,13 @@ def main() -> None:
     A = BlockDiagOperator(inner=K, copies=2)
     B = BlockAntiDiagOperator(d=jnp.ones((m,), dtype))
     T = None
-    if not args.no_precond:
+    if args.cheb:
+        from lobpcg_tpu import ChebyshevFilter
+
+        hi = 4.0 + BARRIER + SHIFT + 0.1  # >= ||A|| for the lattice operator
+        T = ChebyshevFilter(op=A, lo=jnp.asarray(2.0, dtype),
+                            hi=jnp.asarray(hi, dtype), degree=args.cheb)
+    elif not args.no_precond:
         tdiag = jnp.concatenate([2.0 + Vd, 2.0 + Vd])
         T = JacobiPreconditioner(tdiag)
 
