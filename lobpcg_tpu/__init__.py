@@ -24,6 +24,7 @@ from lobpcg_tpu.operators.linop import (
     SumOperator,
 )
 from lobpcg_tpu.operators.chebyshev import ChebyshevFilter
+from lobpcg_tpu.operators.stencil_nd import LaplacianND
 from lobpcg_tpu.operators.realify import (
     derealify,
     realify_operator,
@@ -57,6 +58,7 @@ __all__ = [
     "ChebyshevFilter",
     "CallableOperator",
     "Laplacian1D",
+    "LaplacianND",
     "BlockDiagOperator",
     "BlockAntiDiagOperator",
     "ShiftedOperator",
