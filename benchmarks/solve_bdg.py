@@ -69,6 +69,10 @@ def main() -> None:
     ap.add_argument("--no-precond", action="store_true")
     ap.add_argument("--check", action="store_true",
                     help="compare vs dense truncated-well eigenvalues")
+    ap.add_argument("--realify", action="store_true",
+                    help="specify the pencil in complex128 on the host and "
+                         "solve its split-real f32 embedding on the chip "
+                         "(doubles the working dimension)")
     ap.add_argument("--cheb", type=int, default=0, metavar="DEGREE",
                     help="Chebyshev approximate-inverse preconditioner of "
                          "the given degree (0 = plain Jacobi/none)")
@@ -127,12 +131,32 @@ def main() -> None:
                        max_iter=args.max_iter,
                        use_ax_cache=not args.no_ax_cache)
 
+    if args.realify:
+        import jax as _jax
+
+        from lobpcg_tpu.operators.realify import derealify, realify_problem
+
+        cpu = _jax.devices("cpu")[0]
+        with _jax.default_device(cpu):
+            Kc = Laplacian1D(scale=jnp.asarray(1.0, jnp.complex128), n=m) \
+                + DiagonalOperator(jnp.asarray(V, jnp.complex128))
+            Ac = BlockDiagOperator(inner=Kc, copies=2)
+            Bc = BlockAntiDiagOperator(d=jnp.ones((m,), jnp.complex128))
+            X0c = jnp.asarray(np.concatenate([u, u], axis=0), jnp.complex128)
+            A, X0, B, _, cfg = realify_problem(
+                Ac, X0c, Bc, config=cfg, rdt=jnp.float32
+            )
+            T = None  # preconditioner not realified in this harness
+
     # Compile once (cached), then time the solve.
     r = ilobpcg(A, X0, B, T, config=cfg, key=jax.random.PRNGKey(0))
     jax.block_until_ready(r.eigenvalues)
     t0 = time.perf_counter()
     r = ilobpcg(A, X0, B, T, config=cfg, key=jax.random.PRNGKey(0))
-    lam = np.asarray(r.eigenvalues)
+    if args.realify:
+        lam, _, _ = derealify(r, nev)
+    else:
+        lam = np.asarray(r.eigenvalues)
     wall = time.perf_counter() - t0
 
     out = {
@@ -145,7 +169,8 @@ def main() -> None:
         "tol": args.tol,
         "iterations": int(r.iterations),
         "converged": int(r.converged),
-        "dtype": str(dtype),
+        "dtype": ("complex128->split-real f32" if args.realify
+                  else str(dtype)),
         "device": str(jax.devices()[0].device_kind),
     }
     if args.check:
