@@ -93,9 +93,15 @@ class SolverConfig:
     norm_iters: int = 10
 
     # Projected generalized eigensolve for the indefinite pencil:
-    #   'cholesky' - KPS reduction: chol(GA) + eigh  (fully on-device)
+    #   'cholesky' - KPS reduction: chol(GA) + eigh, fully on-device; a
+    #                potrf failure poisons the outputs with NaN (visible,
+    #                never silently wrong).  The default: host callbacks
+    #                are unavailable on some TPU runtimes (axon rejects
+    #                pure_callback entirely), so the QZ fallback cannot
+    #                be compiled in unconditionally.
+    #   'auto'     - cholesky with a QZ host fallback when chol(GA)
+    #                fails — prefer on CPU / callback-capable backends
     #   'qz'       - scipy QZ via pure_callback      (host round-trip)
-    #   'auto'     - cholesky, QZ fallback when chol(GA) fails
     rr_method: str = "cholesky"
 
     # Cache AX between iterations (the reference's AX field).
@@ -115,8 +121,9 @@ class SolverConfig:
     # Observability (reference: the int8 `verbosity` struct field gating
     # per-iteration printf, `src/core/lobpcg_impl.inc:89-90,118-124,
     # 230-238`).  0 = silent; 1 = per-iteration converged count + max
-    # residual via jax.debug.print (works inside jit / on TPU); 2 = also
-    # eigenvalues.
+    # residual via jax.debug.print; 2 = also eigenvalues.  NOTE: some TPU
+    # runtimes (axon) reject all host callbacks including debug.print —
+    # use record_history there instead.
     verbosity: int = 0
 
     # Record the per-iteration (eigenvalues, residual norms, converged)

@@ -115,6 +115,23 @@ def _is_complex(dt) -> bool:
     return jnp.issubdtype(jnp.dtype(dt), jnp.complexfloating)
 
 
+def _require_real_values(x, what: str) -> None:
+    """Reject genuinely complex data where the embedding rule would
+    silently discard the imaginary part.  Realification happens on host
+    arrays (complex cannot live on the TPU at all), so a value check is
+    available."""
+    if not _is_complex(jnp.asarray(x).dtype):
+        return
+    im = np.asarray(jax.device_get(jnp.imag(jnp.asarray(x))))
+    if np.any(im != 0):
+        raise NotImplementedError(
+            f"realify_operator: {what} has nonzero imaginary part; this "
+            "embedding rule only supports real-valued data — supply the "
+            "2x2 real block embedding explicitly (DenseOperator or a "
+            "CallableOperator on [2n, k])"
+        )
+
+
 def realify_operator(op: LinearOperator, rdt=None) -> LinearOperator:
     """Real embedding of an operator acting on stacked [re; im] blocks.
 
@@ -161,13 +178,25 @@ def realify_operator(op: LinearOperator, rdt=None) -> LinearOperator:
         # B = antidiag(D, D) applies the same D both ways, which is
         # Hermitian only for real-valued D — so the embedding is
         # diag(B, B) over the stacked [re; im] layout.  A complex dtype
-        # merely carries real values here (the BdG fixture pattern).
+        # may only carry real values here (the BdG fixture pattern).
+        _require_real_values(op.d, "BlockAntiDiagOperator.d")
         return BlockDiagOperator(
             inner=BlockAntiDiagOperator(d=jnp.real(op.d).astype(rdt)),
             copies=2,
         )
 
-    # Structural wrappers: rewrite children.
+    # Structural wrappers: rewrite children.  Block-STACKING wrappers
+    # (BlockDiagOperator and friends) change which rows a child sees;
+    # under the global [re; im] stacking a recursed complex-data child
+    # embedding would be applied to [re u1; re u2] instead of its own
+    # [re; im] block — layout-unsound.  Homogeneous REAL-data children
+    # are safe (the same real operator acts identically on any block),
+    # so stacking wrappers are allowed only when every array leaf in the
+    # subtree is real-valued.
+    if type(op).__name__ in ("BlockDiagOperator", "BlockDiag2Operator"):
+        for leaf in jax.tree_util.tree_leaves(op):
+            _require_real_values(leaf, f"{type(op).__name__} child data")
+
     if dataclasses.is_dataclass(op):
         changes = {}
         for f in dataclasses.fields(op):
@@ -245,12 +274,20 @@ def derealify(result, nev: int, *, tol_pair: float = 1e-3):
     out_res = np.empty(nev, res.dtype)
 
     i = 0
+    broken = 0
     for j in range(nev):
-        if i + 1 < lam.shape[0] and abs(lam[i + 1] - lam[i]) <= tol_pair * (
-            1.0 + abs(lam[i])
-        ):
-            pair_res = max(res[i], res[i + 1]) if i + 1 < res.shape[0] else res[i]
+        paired = i + 1 < lam.shape[0] and abs(lam[i + 1] - lam[i]) <= (
+            tol_pair * (1.0 + abs(lam[i]))
+        )
+        if paired:
+            pair_res = (
+                max(res[i], res[i + 1]) if i + 1 < res.shape[0] else res[i]
+            )
         else:
+            # Unpaired value (unconverged solve or spurious interleaved
+            # eigenvalue): emit it but advance by ONE so subsequent
+            # genuine pairs stay in sync.
+            broken += 1
             pair_res = res[i] if i < res.shape[0] else np.nan
         out_lam[j] = lam[i]
         w = V[:, i]
@@ -260,5 +297,14 @@ def derealify(result, nev: int, *, tol_pair: float = 1e-3):
             z = z / nz
         out_vec[:, j] = z
         out_res[j] = pair_res
-        i += 2
+        i += 2 if paired else 1
+    if broken:
+        import warnings
+
+        warnings.warn(
+            f"derealify: {broken} eigenvalue(s) arrived without their "
+            "duplicated partner (unconverged or spurious); check "
+            "result.converged before trusting the folded spectrum",
+            stacklevel=2,
+        )
     return out_lam, out_vec, out_res

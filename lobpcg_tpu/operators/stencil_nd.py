@@ -34,8 +34,6 @@ def _axis_pass(X: jax.Array, grid, axis: int, k: int) -> jax.Array:
     all-jnp N-D formulation runs the whole operator at ~12 GB/s, ~7x
     slower end to end.
     """
-    import jax as _jax
-
     from lobpcg_tpu.ops.pallas.stencil import (
         stencil_matmat_pallas,
         stencil_supported,

@@ -164,6 +164,17 @@ def gram_blocks(blocks, B: Optional[LinearOperator] = None,
     return jnp.concatenate(cols, axis=1)
 
 
+def scale_diag(G: jax.Array):
+    """Guarded Jacobi scaling: D_ii = 1/sqrt(|G_ii|), Gs = D G D.
+    Shared by SVQB and the Rayleigh-Ritz Cholesky path (the reference's
+    D-scaling steps, `svqb_impl.inc:66-70`, `rayleigh_ritz_impl.inc:50`)."""
+    rdt = jnp.zeros((), G.dtype).real.dtype
+    gd = jnp.abs(jnp.diagonal(G)).astype(rdt)
+    D = jnp.where(gd > 0, 1.0 / jnp.sqrt(jnp.where(gd > 0, gd, 1.0)), 1.0)
+    Gs = (D[:, None] * G) * D[None, :].astype(G.dtype)
+    return D, Gs
+
+
 def frob_norm(X: jax.Array) -> jax.Array:
     """Frobenius norm returning the real dtype."""
     return jnp.sqrt(jnp.sum(jnp.abs(X) ** 2).real)

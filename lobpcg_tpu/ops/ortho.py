@@ -20,20 +20,19 @@ import jax.numpy as jnp
 
 from lobpcg_tpu.ops import masking
 from lobpcg_tpu.ops.gram import (
+    _hdot,
     apply_block_op,
     as_blocks,
     b_mm,
     bh_dot,
     frob_norm,
     gram_blocks,
-    gram_cross,
     gram_cross_mat,
-    gram_self,
     gram_self_mat,
     mm,
     ortho_err,
 )
-from lobpcg_tpu.ops.svqb import svqb, svqb_mat
+from lobpcg_tpu.ops.svqb import _svqb_transform, svqb_mat
 from lobpcg_tpu.operators.linop import LinearOperator
 
 
@@ -55,36 +54,46 @@ def _bnorm(B, vb):
 
 
 def _svqb_inner_loop(
-    U, nu, B, eps_ortho, eps_drop, max_inner, *, indefinite, rr_dtype=None
+    U, BU, nu, B, eps_ortho, eps_drop, max_inner, *, indefinite,
+    rr_dtype=None
 ):
     """Shared inner loop: repeat svqb until ||U^H B U - I_sig|| is small.
 
+    B @ U is carried through the loop so each iteration costs ONE
+    operator application (the Gram of the incoming U reuses the carried
+    BU; the post-transform Gram reuses the freshly computed one) — the
+    naive form applies B three times per iteration.
+
     ortho_drop normalizes by ||B*U||*||U|| (`ortho_drop_impl.inc:97-110`);
     ortho_indefinite by ||U||^2 (`ortho_indefinite_impl.inc:141-151`).
+    Returns (U, BU, nu).
     """
 
     def cond(carry):
-        _, _, i, done = carry
+        _, _, _, i, done = carry
         return (i < max_inner) & ~done
 
     def body(carry):
-        U, nu, i, _ = carry
-        U, nu = svqb(U, nu, B, tau=eps_drop, drop=True, rr_dtype=rr_dtype)
-        G = gram_self(U, B)
-        err = ortho_err(G, nu)
-        U_norm = _guard(frob_norm(U), eps_ortho)
+        U, BU, nu, i, _ = carry
+        G = _hdot(U, BU, rr_dtype)
+        T, nu2 = _svqb_transform(G, nu, eps_drop, True, U.dtype)
+        U2 = masking.mask_cols(mm(U, T), nu2)
+        BU2 = apply_block_op(B, U2)
+        G2 = _hdot(U2, BU2)
+        err = ortho_err(G2, nu2)
+        U_norm = _guard(frob_norm(U2), eps_ortho)
         if indefinite:
             denom = U_norm * U_norm
         else:
-            BU_norm = U_norm if B is None else frob_norm(apply_block_op(B, U))
+            BU_norm = U_norm if B is None else frob_norm(BU2)
             denom = BU_norm * U_norm
         done = err / denom < eps_ortho
-        return U, nu, i + 1, done
+        return U2, BU2, nu2, i + 1, done
 
-    U, nu, _, _ = jax.lax.while_loop(
-        cond, body, (U, nu, jnp.int32(0), jnp.bool_(False))
+    U, BU, nu, _, _ = jax.lax.while_loop(
+        cond, body, (U, BU, nu, jnp.int32(0), jnp.bool_(False))
     )
-    return U, nu
+    return U, BU, nu
 
 
 def ortho_drop(
@@ -115,31 +124,31 @@ def ortho_drop(
     U = masking.mask_cols(U, nu)
 
     BV_norm = _guard(_bnorm(B, vb), eps_ortho)
+    BU0 = apply_block_op(B, U)
 
     def cond(carry):
-        _, _, outer, done = carry
+        _, _, _, outer, done = carry
         return (outer < max_outer) & ~done
 
     def body(carry):
-        U, nu, outer, _ = carry
-        # Project: U -= V (V^H B U)
-        BU = apply_block_op(B, U)
+        U, BU, nu, outer, _ = carry
+        # Project: U -= V (V^H B U), reusing the carried BU.
         coef = bh_dot(vb, BU)
-        U = U - b_mm(vb, coef)
-        U = masking.mask_cols(U, nu)
-        # Inner svqb loop
-        U, nu = _svqb_inner_loop(
-            U, nu, B, eps_ortho, eps_drop, max_inner, indefinite=False,
+        U = masking.mask_cols(U - b_mm(vb, coef), nu)
+        BU = apply_block_op(B, U)
+        # Inner svqb loop (carries BU; one B application per step).
+        U, BU, nu = _svqb_inner_loop(
+            U, BU, nu, B, eps_ortho, eps_drop, max_inner, indefinite=False,
             rr_dtype=rr_dtype,
         )
-        # Check ||V^H B U||_F
-        coef2 = bh_dot(vb, apply_block_op(B, U))
+        # Check ||V^H B U||_F from the carried BU.
+        coef2 = bh_dot(vb, BU)
         U_norm = _guard(frob_norm(U), eps_ortho)
         rerr = frob_norm(coef2) / (BV_norm * U_norm)
-        return U, nu, outer + 1, rerr < eps_ortho
+        return U, BU, nu, outer + 1, rerr < eps_ortho
 
-    U, nu, _, _ = jax.lax.while_loop(
-        cond, body, (U, nu, jnp.int32(0), jnp.bool_(False))
+    U, _, nu, _, _ = jax.lax.while_loop(
+        cond, body, (U, BU0, nu, jnp.int32(0), jnp.bool_(False))
     )
     return U, nu
 
@@ -176,28 +185,29 @@ def ortho_indefinite(
         sig = gram_blocks(vb, B)
 
     BV_norm = _guard(_bnorm(B, vb), eps_ortho)
+    BU0 = apply_block_op(B, U)
 
     def cond(carry):
-        _, _, outer, done = carry
+        _, _, _, outer, done = carry
         return (outer < max_outer) & ~done
 
     def body(carry):
-        U, nu, outer, _ = carry
-        coef = bh_dot(vb, apply_block_op(B, U))
+        U, BU, nu, outer, _ = carry
+        coef = bh_dot(vb, BU)
         tmp = mm(sig, coef)
-        U = U - b_mm(vb, tmp)
-        U = masking.mask_cols(U, nu)
-        U, nu = _svqb_inner_loop(
-            U, nu, B, eps_ortho, eps_drop, max_inner, indefinite=True,
+        U = masking.mask_cols(U - b_mm(vb, tmp), nu)
+        BU = apply_block_op(B, U)
+        U, BU, nu = _svqb_inner_loop(
+            U, BU, nu, B, eps_ortho, eps_drop, max_inner, indefinite=True,
             rr_dtype=rr_dtype,
         )
-        coef2 = bh_dot(vb, apply_block_op(B, U))
+        coef2 = bh_dot(vb, BU)
         U_norm = _guard(frob_norm(U), eps_ortho)
         rerr = frob_norm(coef2) / (BV_norm * U_norm)
-        return U, nu, outer + 1, rerr < eps_ortho
+        return U, BU, nu, outer + 1, rerr < eps_ortho
 
-    U, nu, _, _ = jax.lax.while_loop(
-        cond, body, (U, nu, jnp.int32(0), jnp.bool_(False))
+    U, _, nu, _, _ = jax.lax.while_loop(
+        cond, body, (U, BU0, nu, jnp.int32(0), jnp.bool_(False))
     )
     return U, nu
 

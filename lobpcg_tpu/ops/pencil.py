@@ -64,6 +64,12 @@ def pencil_eig_cholesky(GA: jax.Array, GB: jax.Array, tiny: float):
     lam = _sentinel_lambda(
         jnp.ones_like(mu).astype(GA.dtype), mu.astype(GA.dtype), tiny, rdt
     )
+    # A failed potrf must not masquerade as a valid solve: poison the
+    # outputs so residuals go NaN and the failure is visible (callers of
+    # method='cholesky' opted out of the QZ fallback that 'auto' takes).
+    nan = jnp.asarray(jnp.nan, rdt)
+    lam = jnp.where(ok, lam, nan)
+    V = jnp.where(ok, V, jnp.asarray(jnp.nan, V.dtype))
     return lam, V, ok
 
 

@@ -35,6 +35,7 @@ from lobpcg_tpu.ops.gram import (
     gram_blocks,
     gram_self,
     mm,
+    scale_diag as _scale_diag,
 )
 from lobpcg_tpu.operators.linop import LinearOperator
 
@@ -48,19 +49,9 @@ class RRResult(NamedTuple):
     # reference's nretain bookkeeping, `rayleigh_ritz_modified_impl.inc:56`)
 
 
-def _scale_diag(G):
-    """D_ii = 1/sqrt(|G_ii|) (guarded), Gs = D G D."""
-    rdt = jnp.zeros((), G.dtype).real.dtype
-    gd = jnp.abs(jnp.diagonal(G)).astype(rdt)
-    D = jnp.where(gd > 0, 1.0 / jnp.sqrt(jnp.where(gd > 0, gd, 1.0)), 1.0)
-    Gs = (D[:, None] * G) * D[None, :].astype(G.dtype)
-    return D, Gs
-
-
 def _dinv_r(L, D):
     """D_inv_R = D * inv(R) with R = L^H (the reference's trsm_run step,
     `rayleigh_ritz_impl.inc:67-75`).  Computed as (inv(L) @ diag(D))^H."""
-    k = L.shape[0]
     rhs = jnp.diag(D).astype(L.dtype)
     return solve_triangular(L, rhs, lower=True).conj().T
 

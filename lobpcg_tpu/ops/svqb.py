@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from lobpcg_tpu.ops import masking
-from lobpcg_tpu.ops.gram import gram_self, gram_self_mat, mm
+from lobpcg_tpu.ops.gram import gram_self, gram_self_mat, mm, scale_diag
 from lobpcg_tpu.operators.linop import LinearOperator
 
 
@@ -36,9 +36,8 @@ def _svqb_transform(G, count, tau, drop, dtype):
     G = masking.inject_diag(G, count, 1.0)
 
     # Diagonal scaling D_ii = 1/sqrt(|G_ii|)  (svqb_impl.inc:66-70)
-    gd = jnp.abs(jnp.diagonal(G)).astype(rdt)
-    D = jnp.where(gd > 0, 1.0 / jnp.sqrt(jnp.where(gd > 0, gd, 1.0)), 1.0)
-    Gs = (D[:, None] * G) * D[None, :].astype(G.dtype)
+    D, Gs = scale_diag(G)
+    D = D.astype(rdt)
 
     # Eigensolve of the scaled Gram (svqb_impl.inc:78)
     w, V = jnp.linalg.eigh(Gs)

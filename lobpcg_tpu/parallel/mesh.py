@@ -30,9 +30,18 @@ def row_mesh(
     if n_devices is not None:
         if len(devices) < n_devices:
             # Fall back to the virtual CPU backend (tests / dry-runs on a
-            # single-chip host).
+            # single-chip host) — loudly, so accelerator benchmarks can
+            # never silently report CPU numbers.
             cpu = jax.devices("cpu")
             if len(cpu) >= n_devices:
+                import warnings
+
+                warnings.warn(
+                    f"row_mesh: only {len(devices)} accelerator device(s) "
+                    f"available; building the {n_devices}-device mesh from "
+                    "CPU devices — compute will run on CPU",
+                    stacklevel=2,
+                )
                 devices = cpu
             else:
                 raise ValueError(

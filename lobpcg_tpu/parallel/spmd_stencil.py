@@ -43,6 +43,17 @@ def stencil_matmat_spmd(
         )
     seg = n // num_segments
     local_rows = n // nd
+    # Segment boundaries must align with the shard grid: either every
+    # shard holds a whole number of segments (local_rows % seg == 0, the
+    # interior masking below handles them) or every segment spans a whole
+    # number of shards (seg % local_rows == 0, the halo zeroing handles
+    # them).  Anything else puts a boundary strictly inside a shard with
+    # no masking and silently couples segments.
+    if (seg % local_rows) and (local_rows % seg):
+        raise ValueError(
+            f"segment length {seg} and shard rows {local_rows} must divide "
+            "one another (segment boundaries would fall inside a shard)"
+        )
 
     def local(xs):
         # xs: [local_rows, k] on this shard.

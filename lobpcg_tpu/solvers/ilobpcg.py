@@ -225,5 +225,9 @@ def ilobpcg(
         raise ValueError(
             f"X0 has {X0.shape[1]} columns, expected size_sub={config.size_sub}"
         )
+    if X0 is not None and X0.shape[0] != A.shape[0]:
+        raise ValueError(
+            f"X0 has {X0.shape[0]} rows, expected A.shape[0]={A.shape[0]}"
+        )
     r = _ilobpcg_jit(A, B, T, X0, key, config)
     return r._replace(eigenvectors=r.basis[:, : config.nev])

@@ -58,10 +58,6 @@ class _Carry(NamedTuple):
     hist: object  # SolveHistory or None (static per config)
 
 
-def _mm(S, C):
-    return mm(S, C)
-
-
 @functools.partial(jax.jit, static_argnums=(5,))
 def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
     n = A.shape[0]
@@ -90,7 +86,7 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
 
     # Initial Rayleigh-Ritz + projection (`lobpcg_impl.inc:99-104`).
     Cx0, lam = rayleigh_ritz(X, A, B, rr_dtype=rrdt)
-    X = _mm(X, Cx0)
+    X = mm(X, Cx0)
     AX = A.matmat(X)
     W = get_residual(X, AX, lam, A, B)
     res = get_residual_norm(W, lam, a_norm, b_norm, nev)
@@ -274,6 +270,10 @@ def lobpcg(
     if X0 is not None and X0.shape[1] != config.size_sub:
         raise ValueError(
             f"X0 has {X0.shape[1]} columns, expected size_sub={config.size_sub}"
+        )
+    if X0 is not None and X0.shape[0] != A.shape[0]:
+        raise ValueError(
+            f"X0 has {X0.shape[0]} rows, expected A.shape[0]={A.shape[0]}"
         )
     r = _lobpcg_jit(A, B, T, X0, key, config)
     return r._replace(eigenvectors=r.basis[:, : config.nev])
