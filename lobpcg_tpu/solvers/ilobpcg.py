@@ -58,7 +58,8 @@ class _Carry(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnums=(5,))
-def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig):
+def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig, P0=None,
+                 p0_cnt=0):
     n = A.shape[0]
     m = config.size_sub
     nev = config.nev
@@ -93,10 +94,13 @@ def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig):
     if not config.use_ax_cache:
         AX = jnp.zeros((1, 1), dtype)
 
-    P0 = jnp.zeros((n, m), dtype)
+    P_init = (
+        jnp.zeros((n, m), dtype) if P0 is None else P0.astype(dtype)
+    )
     hist0 = observe.history_init(config, m, lam0.dtype, res.dtype)
     carry0 = _Carry(
-        X, P0, W, AX, lam0, sig0, res, jnp.int32(0), jnp.int32(0), hist0
+        X, P_init, W, AX, lam0, sig0, res, jnp.int32(0), jnp.int32(0),
+        hist0
     )
 
     def cond(c: _Carry):
@@ -104,7 +108,8 @@ def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig):
 
     def body(c: _Carry):
         it0 = c.it == 0
-        np_act = jnp.where(it0, 0, m - c.conv)
+        warm_p = jnp.int32(p0_cnt) if P0 is not None else jnp.int32(0)
+        np_act = jnp.where(it0, warm_p, m - c.conv)
         nw = jnp.where(it0, jnp.int32(m), m - c.conv)
         W = c.W
 
@@ -183,6 +188,7 @@ def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig):
         converged=cf.conv,
         iterations=cf.it,
         basis=cf.X,
+        momentum=cf.P,
         history=cf.hist,
     )
 
@@ -193,6 +199,7 @@ def ilobpcg(
     B: Optional[LinearOperator] = None,
     T: Optional[LinearOperator] = None,
     *,
+    P0: Optional[jax.Array] = None,
     nev: Optional[int] = None,
     size_sub: Optional[int] = None,
     tol: float = 1e-5,
@@ -229,5 +236,8 @@ def ilobpcg(
         raise ValueError(
             f"X0 has {X0.shape[0]} rows, expected A.shape[0]={A.shape[0]}"
         )
-    r = _ilobpcg_jit(A, B, T, X0, key, config)
+    p0_cnt = 0
+    if P0 is not None:
+        p0_cnt = int(jnp.sum(jnp.max(jnp.abs(P0), axis=0) > 0))
+    r = _ilobpcg_jit(A, B, T, X0, key, config, P0, p0_cnt)
     return r._replace(eigenvectors=r.basis[:, : config.nev])

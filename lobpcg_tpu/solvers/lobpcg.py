@@ -59,7 +59,8 @@ class _Carry(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnums=(5,))
-def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
+def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig, P0=None,
+                p0_cnt=0):
     n = A.shape[0]
     m = config.size_sub
     nev = config.nev
@@ -97,11 +98,13 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
     if not config.use_ax_cache:
         AX = jnp.zeros((1, 1), dtype)
 
-    P0 = jnp.zeros((n, m), dtype)
+    P_init = (
+        jnp.zeros((n, m), dtype) if P0 is None else P0.astype(dtype)
+    )
     hist0 = observe.history_init(config, m, lam.dtype, res.dtype)
     carry0 = _Carry(
         X,
-        P0,
+        P_init,
         W,
         AX,
         lam,
@@ -109,7 +112,7 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
         jnp.int32(0),
         jnp.int32(0),
         jnp.int32(0),
-        jnp.int32(0),
+        jnp.int32(p0_cnt) if P0 is not None else jnp.int32(0),
         hist0,
     )
 
@@ -133,7 +136,9 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
 
     def body(c: _Carry):
         it0 = c.it == 0
-        np_act = jnp.where(it0, 0, jnp.minimum(c.p_cnt, m - c.conv))
+        np_act = jnp.where(
+            it0, jnp.minimum(c.p_cnt, m), jnp.minimum(c.p_cnt, m - c.conv)
+        )
         nw = jnp.where(it0, jnp.int32(m), m - c.conv)
         W = c.W
 
@@ -231,6 +236,7 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig):
         converged=cf.conv,
         iterations=cf.it,
         basis=cf.X,
+        momentum=cf.P,
         history=cf.hist,
     )
 
@@ -241,6 +247,7 @@ def lobpcg(
     B: Optional[LinearOperator] = None,
     T: Optional[LinearOperator] = None,
     *,
+    P0: Optional[jax.Array] = None,
     nev: Optional[int] = None,
     size_sub: Optional[int] = None,
     tol: float = 1e-5,
@@ -275,5 +282,10 @@ def lobpcg(
         raise ValueError(
             f"X0 has {X0.shape[0]} rows, expected A.shape[0]={A.shape[0]}"
         )
-    r = _lobpcg_jit(A, B, T, X0, key, config)
+    p0_cnt = 0
+    if P0 is not None:
+        # Live P columns = nonzero columns (dead columns are exactly
+        # zero by the solver's own invariant).
+        p0_cnt = int(jnp.sum(jnp.max(jnp.abs(P0), axis=0) > 0))
+    r = _lobpcg_jit(A, B, T, X0, key, config, P0, p0_cnt)
     return r._replace(eigenvectors=r.basis[:, : config.nev])

@@ -35,6 +35,8 @@ class LOBPCGResult(NamedTuple):
     # (reference: caller-provided S is reused when nonzero,
     # `src/core/lobpcg_impl.inc:92-96`), so this is the checkpoint payload.
     basis: Optional[jax.Array] = None
+    # P block at exit — optional warm-restart momentum (pass as P0).
+    momentum: Optional[jax.Array] = None
     history: Optional[SolveHistory] = None
 
 
@@ -46,4 +48,5 @@ class ILOBPCGResult(NamedTuple):
     converged: jax.Array  # i32
     iterations: jax.Array  # i32
     basis: Optional[jax.Array] = None  # full [n, size_sub] X block
+    momentum: Optional[jax.Array] = None  # P block (warm-restart extra)
     history: Optional[SolveHistory] = None

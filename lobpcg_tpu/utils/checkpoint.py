@@ -31,8 +31,9 @@ _FORMAT_VERSION = 1
 
 
 def save_checkpoint(path, basis, eigenvalues=None, *, iterations: int = 0,
-                    meta: Optional[dict] = None) -> None:
-    """Atomically snapshot a solve: basis [n, size_sub] (+ eigenvalues).
+                    momentum=None, meta: Optional[dict] = None) -> None:
+    """Atomically snapshot a solve: basis [n, size_sub] (+ eigenvalues,
+    + the P momentum block for exact-speed resume).
 
     Atomic = write to `<path>.tmp` then rename, so a crash mid-write
     never corrupts the previous snapshot.
@@ -43,6 +44,8 @@ def save_checkpoint(path, basis, eigenvalues=None, *, iterations: int = 0,
         "basis": np.asarray(basis),
         "iterations": np.int64(iterations),
     }
+    if momentum is not None:
+        payload["momentum"] = np.asarray(momentum)
     if eigenvalues is not None:
         payload["eigenvalues"] = np.asarray(eigenvalues)
     for k, v in (meta or {}).items():
@@ -91,9 +94,12 @@ def solve_checkpointed(
     path = pathlib.Path(path)
     total_it = 0
     X = X0
+    P = None
     if resume and path.exists():
         ck = load_checkpoint(path)
         X = jnp.asarray(ck["basis"], A.dtype)
+        if "momentum" in ck:
+            P = jnp.asarray(ck["momentum"], A.dtype)
         total_it = ck["iterations"]
 
     if key is None:
@@ -103,14 +109,16 @@ def solve_checkpointed(
     while total_it < config.max_iter:
         chunk = min(every, config.max_iter - total_it)
         cfg = dataclasses.replace(config, max_iter=chunk)
-        result = solve_fn(A, X, B, T, config=cfg, key=key)
+        result = solve_fn(A, X, B, T, config=cfg, key=key, P0=P)
         total_it += int(result.iterations)
         X = result.basis
+        P = result.momentum
         save_checkpoint(
             path,
             X,
             result.eigenvalues,
             iterations=total_it,
+            momentum=P,
             meta={"converged": int(result.converged)},
         )
         if int(result.converged) >= config.nev:
@@ -119,5 +127,5 @@ def solve_checkpointed(
             break
     if result is None:  # already past max_iter when resumed
         cfg = dataclasses.replace(config, max_iter=1)
-        result = solve_fn(A, X, B, T, config=cfg, key=key)
+        result = solve_fn(A, X, B, T, config=cfg, key=key, P0=P)
     return result._replace(iterations=jnp.int32(total_it))

@@ -100,3 +100,26 @@ def test_solve_checkpointed_ilobpcg(tmp_path):
     exact = laplacian_exact(np.arange(1, nev + 1))
     rel = np.abs(np.asarray(r.eigenvalues) - exact) / exact
     assert np.all(rel < 1e-2)
+
+
+def test_momentum_resume_fewer_iterations():
+    """Resuming with the saved P block converges in no more total
+    iterations than the uninterrupted run (X-only restarts pay re-ramp
+    iterations every chunk)."""
+    n, nev, ss = 100, 3, 6
+    A = laplacian_op(n, jnp.float64)
+    X0 = rand_block(5, n, ss, jnp.float64)
+
+    full = lobpcg(A, X0, nev=nev, size_sub=ss, tol=1e-8, max_iter=400)
+
+    part = lobpcg(A, X0, nev=nev, size_sub=ss, tol=1e-8, max_iter=10)
+    warm = lobpcg(A, part.basis, P0=part.momentum, nev=nev, size_sub=ss,
+                  tol=1e-8, max_iter=400)
+    cold = lobpcg(A, part.basis, nev=nev, size_sub=ss, tol=1e-8,
+                  max_iter=400)
+    assert int(warm.converged) == nev
+    assert int(cold.converged) == nev
+    total_warm = 10 + int(warm.iterations)
+    # Close to the uninterrupted count (an X-only restart can pay a few
+    # re-ramp iterations; the momentum restart should not add more).
+    assert total_warm <= int(full.iterations) + 8
