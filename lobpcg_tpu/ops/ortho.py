@@ -54,19 +54,22 @@ def _bnorm(B, vb):
 
 
 def _svqb_inner_loop(
-    U, BU, nu, B, eps_ortho, eps_drop, max_inner, *, indefinite,
+    U, G0, nu, B, eps_ortho, eps_drop, max_inner, *, indefinite,
     rr_dtype=None
 ):
     """Shared inner loop: repeat svqb until ||U^H B U - I_sig|| is small.
 
-    B @ U is carried through the loop so each iteration costs ONE
-    operator application (the Gram of the incoming U reuses the carried
-    BU; the post-transform Gram reuses the freshly computed one) — the
-    naive form applies B three times per iteration.
+    The k x k Gram G = U^H B U is carried through the loop (initialized
+    by the caller from its own B application), so each iteration costs
+    ONE operator application — the incoming U's Gram is already in hand,
+    and the freshly applied BU serves both the convergence check and the
+    next iteration.  Carrying the tiny Gram instead of the [n, m] BU
+    block keeps the while-loop carry small (a BU carry measurably tipped
+    capacity-bound solves over the HBM limit).
 
     ortho_drop normalizes by ||B*U||*||U|| (`ortho_drop_impl.inc:97-110`);
     ortho_indefinite by ||U||^2 (`ortho_indefinite_impl.inc:141-151`).
-    Returns (U, BU, nu).
+    Returns (U, nu).
     """
 
     def cond(carry):
@@ -74,12 +77,11 @@ def _svqb_inner_loop(
         return (i < max_inner) & ~done
 
     def body(carry):
-        U, BU, nu, i, _ = carry
-        G = _hdot(U, BU, rr_dtype)
+        U, G, nu, i, _ = carry
         T, nu2 = _svqb_transform(G, nu, eps_drop, True, U.dtype)
         U2 = masking.mask_cols(mm(U, T), nu2)
         BU2 = apply_block_op(B, U2)
-        G2 = _hdot(U2, BU2)
+        G2 = _hdot(U2, BU2, rr_dtype)
         err = ortho_err(G2, nu2)
         U_norm = _guard(frob_norm(U2), eps_ortho)
         if indefinite:
@@ -88,12 +90,12 @@ def _svqb_inner_loop(
             BU_norm = U_norm if B is None else frob_norm(BU2)
             denom = BU_norm * U_norm
         done = err / denom < eps_ortho
-        return U2, BU2, nu2, i + 1, done
+        return U2, G2, nu2, i + 1, done
 
-    U, BU, nu, _, _ = jax.lax.while_loop(
-        cond, body, (U, BU, nu, jnp.int32(0), jnp.bool_(False))
+    U, _, nu, _, _ = jax.lax.while_loop(
+        cond, body, (U, G0, nu, jnp.int32(0), jnp.bool_(False))
     )
-    return U, BU, nu
+    return U, nu
 
 
 def ortho_drop(
@@ -124,31 +126,32 @@ def ortho_drop(
     U = masking.mask_cols(U, nu)
 
     BV_norm = _guard(_bnorm(B, vb), eps_ortho)
-    BU0 = apply_block_op(B, U)
 
     def cond(carry):
-        _, _, _, outer, done = carry
+        _, _, outer, done = carry
         return (outer < max_outer) & ~done
 
     def body(carry):
-        U, BU, nu, outer, _ = carry
-        # Project: U -= V (V^H B U), reusing the carried BU.
+        U, nu, outer, _ = carry
+        # Project: U -= V (V^H B U); the same BU seeds the inner loop's
+        # Gram, so the projection costs one operator application total.
+        BU = apply_block_op(B, U)
         coef = bh_dot(vb, BU)
         U = masking.mask_cols(U - b_mm(vb, coef), nu)
         BU = apply_block_op(B, U)
-        # Inner svqb loop (carries BU; one B application per step).
-        U, BU, nu = _svqb_inner_loop(
-            U, BU, nu, B, eps_ortho, eps_drop, max_inner, indefinite=False,
+        G0 = _hdot(U, BU, rr_dtype)
+        U, nu = _svqb_inner_loop(
+            U, G0, nu, B, eps_ortho, eps_drop, max_inner, indefinite=False,
             rr_dtype=rr_dtype,
         )
-        # Check ||V^H B U||_F from the carried BU.
-        coef2 = bh_dot(vb, BU)
+        # Check ||V^H B U||_F.
+        coef2 = bh_dot(vb, apply_block_op(B, U))
         U_norm = _guard(frob_norm(U), eps_ortho)
         rerr = frob_norm(coef2) / (BV_norm * U_norm)
-        return U, BU, nu, outer + 1, rerr < eps_ortho
+        return U, nu, outer + 1, rerr < eps_ortho
 
-    U, _, nu, _, _ = jax.lax.while_loop(
-        cond, body, (U, BU0, nu, jnp.int32(0), jnp.bool_(False))
+    U, nu, _, _ = jax.lax.while_loop(
+        cond, body, (U, nu, jnp.int32(0), jnp.bool_(False))
     )
     return U, nu
 
@@ -185,29 +188,30 @@ def ortho_indefinite(
         sig = gram_blocks(vb, B)
 
     BV_norm = _guard(_bnorm(B, vb), eps_ortho)
-    BU0 = apply_block_op(B, U)
 
     def cond(carry):
-        _, _, _, outer, done = carry
+        _, _, outer, done = carry
         return (outer < max_outer) & ~done
 
     def body(carry):
-        U, BU, nu, outer, _ = carry
+        U, nu, outer, _ = carry
+        BU = apply_block_op(B, U)
         coef = bh_dot(vb, BU)
         tmp = mm(sig, coef)
         U = masking.mask_cols(U - b_mm(vb, tmp), nu)
         BU = apply_block_op(B, U)
-        U, BU, nu = _svqb_inner_loop(
-            U, BU, nu, B, eps_ortho, eps_drop, max_inner, indefinite=True,
+        G0 = _hdot(U, BU, rr_dtype)
+        U, nu = _svqb_inner_loop(
+            U, G0, nu, B, eps_ortho, eps_drop, max_inner, indefinite=True,
             rr_dtype=rr_dtype,
         )
-        coef2 = bh_dot(vb, BU)
+        coef2 = bh_dot(vb, apply_block_op(B, U))
         U_norm = _guard(frob_norm(U), eps_ortho)
         rerr = frob_norm(coef2) / (BV_norm * U_norm)
-        return U, BU, nu, outer + 1, rerr < eps_ortho
+        return U, nu, outer + 1, rerr < eps_ortho
 
-    U, _, nu, _, _ = jax.lax.while_loop(
-        cond, body, (U, BU0, nu, jnp.int32(0), jnp.bool_(False))
+    U, nu, _, _ = jax.lax.while_loop(
+        cond, body, (U, nu, jnp.int32(0), jnp.bool_(False))
     )
     return U, nu
 
