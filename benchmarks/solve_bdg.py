@@ -146,7 +146,19 @@ def main() -> None:
             A, X0, B, _, cfg = realify_problem(
                 Ac, X0c, Bc, config=cfg, rdt=jnp.float32
             )
-            T = None  # preconditioner not realified in this harness
+            # Rebuild the requested preconditioner on the REALIFIED A so
+            # realify-vs-native comparisons stay apples-to-apples.
+            if args.cheb:
+                from lobpcg_tpu import ChebyshevFilter
+
+                hi = 4.0 + BARRIER + SHIFT + 0.1
+                T = ChebyshevFilter(op=A, lo=jnp.asarray(2.0, jnp.float32),
+                                    hi=jnp.asarray(hi, jnp.float32),
+                                    degree=args.cheb)
+            elif T is not None:
+                T = JacobiPreconditioner(
+                    jnp.concatenate([jnp.real(T.d).astype(jnp.float32)] * 2)
+                )
 
     # Compile once (cached), then time the solve.
     r = ilobpcg(A, X0, B, T, config=cfg, key=jax.random.PRNGKey(0))
@@ -168,7 +180,10 @@ def main() -> None:
         "size_sub": ss,
         "tol": args.tol,
         "iterations": int(r.iterations),
-        "converged": int(r.converged),
+        # For realified runs convergence counts duplicated real pairs;
+        # report complex pairs so the field is comparable across modes.
+        "converged": (int(r.converged) // 2 if args.realify
+                      else int(r.converged)),
         "dtype": ("complex128->split-real f32" if args.realify
                   else str(dtype)),
         "device": str(jax.devices()[0].device_kind),

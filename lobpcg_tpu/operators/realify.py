@@ -161,13 +161,15 @@ def realify_operator(op: LinearOperator, rdt=None) -> LinearOperator:
         )
 
     if isinstance(op, JacobiPreconditioner):
-        # T = diag(d)^-1 with Hermitian-positive d: real.
+        # T = diag(d)^-1 with Hermitian-positive d: real by definition.
+        _require_real_values(op.d, "JacobiPreconditioner.d")
         d = jnp.real(op.d).astype(rdt)
         return BlockDiagOperator(inner=JacobiPreconditioner(d), copies=2)
 
     if isinstance(op, Laplacian1D):
         # Real-coefficient stencil: diag(K, K) == one stencil with
         # doubled segments over the stacked layout.
+        _require_real_values(op.scale, "Laplacian1D.scale")
         return Laplacian1D(
             scale=jnp.real(op.scale).astype(rdt),
             n=2 * op.n,
@@ -210,6 +212,7 @@ def realify_operator(op: LinearOperator, rdt=None) -> LinearOperator:
                 if f.name in ("alpha", "sigma") and _is_complex(
                     jnp.asarray(v).dtype
                 ):
+                    _require_real_values(v, f"{type(op).__name__}.{f.name}")
                     changes[f.name] = jnp.real(jnp.asarray(v)).astype(rdt)
             return dataclasses.replace(op, **changes)
 

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from lobpcg_tpu.operators.linop import LinearOperator, operator
 
 
-def _axis_pass(X: jax.Array, grid, axis: int, k: int) -> jax.Array:
+def _axis_pass(X: jax.Array, grid, axis: int, k: int,
+               force_jnp: bool = False) -> jax.Array:
     """tridiag[-1, 2, -1] along one grid axis of flattened X, returned
     flat [n, k].
 
@@ -45,7 +46,7 @@ def _axis_pass(X: jax.Array, grid, axis: int, k: int) -> jax.Array:
     Xv = X.reshape(rows, width)
     # VMEM bound: the kernel holds ~4 tiles of (>=24, width) f32.
     fits_vmem = width * 4 * 24 * 4 <= 12 * (1 << 20)
-    if fits_vmem and stencil_supported(Xv, segments):
+    if not force_jnp and fits_vmem and stencil_supported(Xv, segments):
         return stencil_matmat_pallas(
             Xv, jnp.ones((), X.dtype), num_segments=segments
         ).reshape(X.shape)
@@ -68,7 +69,7 @@ def _lap_along(Xg: jax.Array, axis: int) -> jax.Array:
     return 2.0 * Xg - Xp[sl(2, n + 2)] - Xp[sl(0, n)]
 
 
-@operator(data_fields=("scale",), meta_fields=("grid",))
+@operator(data_fields=("scale",), meta_fields=("grid", "force_jnp"))
 class LaplacianND(LinearOperator):
     """Dirichlet Laplacian on a structured grid, flattened C-order.
 
@@ -80,15 +81,18 @@ class LaplacianND(LinearOperator):
 
     scale: jax.Array
     grid: tuple = ()
+    # Under row sharding the Pallas per-axis dispatch cannot partition
+    # (pallas_call has no SPMD rule); shard_problem rewrites the operator
+    # with force_jnp=True so GSPMD derives halos from the pad/slice form.
+    force_jnp: bool = False
 
     def matmat(self, X):
         k = X.shape[1]
         n = int(np.prod(self.grid))
         Y = None
         for ax in range(len(self.grid)):
-            Y = _axis_pass(X, self.grid, ax, k) if Y is None else (
-                Y + _axis_pass(X, self.grid, ax, k)
-            )
+            p = _axis_pass(X, self.grid, ax, k, force_jnp=self.force_jnp)
+            Y = p if Y is None else Y + p
         return (self.scale * Y).reshape(n, k)
 
     @property

@@ -133,8 +133,9 @@ def ortho_drop(
 
     def body(carry):
         U, nu, outer, _ = carry
-        # Project: U -= V (V^H B U); the same BU seeds the inner loop's
-        # Gram, so the projection costs one operator application total.
+        # Project: U -= V (V^H B U), then one more application of the
+        # projected U seeds the inner loop's Gram — two B applications
+        # per outer step plus one per inner step plus the final check.
         BU = apply_block_op(B, U)
         coef = bh_dot(vb, BU)
         U = masking.mask_cols(U - b_mm(vb, coef), nu)

@@ -102,14 +102,22 @@ def stencil_matmat_spmd(
 
 
 def _rewrite(op, mesh: Mesh, axis: str):
-    """Recursively replace Laplacian1D with its shard_map variant."""
+    """Recursively replace stencil operators with sharding-safe forms:
+    Laplacian1D -> explicit shard_map halo exchange; LaplacianND ->
+    force_jnp (pallas_call has no SPMD partitioning rule, so its per-axis
+    fast path must not run on sharded arrays)."""
+    import dataclasses as _dc
+
     from lobpcg_tpu.operators.linop import Laplacian1D
+    from lobpcg_tpu.operators.stencil_nd import LaplacianND
 
     if isinstance(op, Laplacian1D):
         return SpmdLaplacian1D(
             scale=op.scale, n=op.n, segments=op.segments, mesh=mesh,
             axis=axis,
         )
+    if isinstance(op, LaplacianND):
+        return _dc.replace(op, force_jnp=True)
     # Recurse into operator-valued fields (Sum/Composed/BlockDiag/...).
     import dataclasses
 

@@ -39,6 +39,7 @@ from lobpcg_tpu.ops.residual import (
 )
 from lobpcg_tpu.ops.svqb import robust_basis_init, svqb
 from lobpcg_tpu.solvers import observe
+from lobpcg_tpu.solvers.lobpcg import _prepare_p0
 from lobpcg_tpu.solvers.state import ILOBPCGResult
 from lobpcg_tpu.utils.prng import fill_random
 
@@ -236,8 +237,6 @@ def ilobpcg(
         raise ValueError(
             f"X0 has {X0.shape[0]} rows, expected A.shape[0]={A.shape[0]}"
         )
-    p0_cnt = 0
-    if P0 is not None:
-        p0_cnt = int(jnp.sum(jnp.max(jnp.abs(P0), axis=0) > 0))
+    P0, p0_cnt = _prepare_p0(P0, A, config)
     r = _ilobpcg_jit(A, B, T, X0, key, config, P0, p0_cnt)
     return r._replace(eigenvectors=r.basis[:, : config.nev])

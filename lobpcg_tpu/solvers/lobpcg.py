@@ -136,9 +136,8 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig, P0=None,
 
     def body(c: _Carry):
         it0 = c.it == 0
-        np_act = jnp.where(
-            it0, jnp.minimum(c.p_cnt, m), jnp.minimum(c.p_cnt, m - c.conv)
-        )
+        # conv == 0 at it 0, so no special case is needed for warm P.
+        np_act = jnp.minimum(c.p_cnt, m - c.conv)
         nw = jnp.where(it0, jnp.int32(m), m - c.conv)
         W = c.W
 
@@ -241,6 +240,31 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig, P0=None,
     )
 
 
+def _prepare_p0(P0, A, config):
+    """Validate and prefix-compact a warm-restart momentum block.
+
+    The solver invariant requires live P columns to form a zero-padded
+    prefix; a checkpoint produced by this library satisfies that, but a
+    user-assembled P0 may not — compact nonzero columns to the front (a
+    cheap host-side [n, m] shuffle) and count them.
+    """
+    if P0 is None:
+        return None, 0
+    if P0.shape != (A.shape[0], config.size_sub):
+        raise ValueError(
+            f"P0 has shape {P0.shape}, expected "
+            f"({A.shape[0]}, {config.size_sub})"
+        )
+    import numpy as _np
+
+    nonzero = _np.asarray(jnp.max(jnp.abs(P0), axis=0) > 0)
+    order = _np.argsort(~nonzero, kind="stable")
+    p0_cnt = int(nonzero.sum())
+    if not (order == _np.arange(order.size)).all():
+        P0 = jnp.take(P0, jnp.asarray(order), axis=1)
+    return P0, p0_cnt
+
+
 def lobpcg(
     A: LinearOperator,
     X0: Optional[jax.Array] = None,
@@ -282,10 +306,6 @@ def lobpcg(
         raise ValueError(
             f"X0 has {X0.shape[0]} rows, expected A.shape[0]={A.shape[0]}"
         )
-    p0_cnt = 0
-    if P0 is not None:
-        # Live P columns = nonzero columns (dead columns are exactly
-        # zero by the solver's own invariant).
-        p0_cnt = int(jnp.sum(jnp.max(jnp.abs(P0), axis=0) > 0))
+    P0, p0_cnt = _prepare_p0(P0, A, config)
     r = _lobpcg_jit(A, B, T, X0, key, config, P0, p0_cnt)
     return r._replace(eigenvectors=r.basis[:, : config.nev])

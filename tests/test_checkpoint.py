@@ -123,3 +123,28 @@ def test_momentum_resume_fewer_iterations():
     # Close to the uninterrupted count (an X-only restart can pay a few
     # re-ramp iterations; the momentum restart should not add more).
     assert total_warm <= int(full.iterations) + 8
+
+
+def test_p0_non_prefix_compacted():
+    """A user-assembled P0 with scattered nonzero columns is compacted to
+    the prefix the solver invariant requires (no NaN poisoning)."""
+    n, nev, ss = 100, 3, 6
+    A = laplacian_op(n, jnp.float64)
+    X0 = rand_block(5, n, ss, jnp.float64)
+    part = lobpcg(A, X0, nev=nev, size_sub=ss, tol=1e-8, max_iter=10)
+    P = np.asarray(part.momentum).copy()
+    P[:, 1] = 0.0  # punch a hole: nonzero cols no longer a prefix
+    r = lobpcg(A, part.basis, P0=jnp.asarray(P), nev=nev, size_sub=ss,
+               tol=1e-8, max_iter=400)
+    assert int(r.converged) == nev
+    assert np.all(np.isfinite(np.asarray(r.eigenvalues)))
+
+
+def test_p0_shape_validated():
+    n, nev, ss = 60, 2, 4
+    A = laplacian_op(n, jnp.float64)
+    X0 = rand_block(1, n, ss, jnp.float64)
+    import pytest
+
+    with pytest.raises(ValueError, match="P0"):
+        lobpcg(A, X0, P0=X0[:, :2], nev=nev, size_sub=ss)

@@ -131,3 +131,18 @@ def test_realify_config_doubles():
     cfg = SolverConfig(nev=5, size_sub=8)
     c2 = realify_config(cfg)
     assert (c2.nev, c2.size_sub) == (10, 16)
+
+
+def test_realify_rejects_truly_complex_scalars():
+    from lobpcg_tpu import Laplacian1D, JacobiPreconditioner
+
+    with pytest.raises(NotImplementedError):
+        realify_operator(
+            Laplacian1D(scale=jnp.asarray(1.0 + 2.0j, jnp.complex128), n=4)
+        )
+    with pytest.raises(NotImplementedError):
+        realify_operator(
+            JacobiPreconditioner(
+                jnp.asarray([1.0 + 1.0j, 2.0], jnp.complex128)
+            )
+        )

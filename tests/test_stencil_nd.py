@@ -71,3 +71,13 @@ def test_3d_sharded():
         r = lobpcg(As, X0s, nev=3, size_sub=6, tol=1e-8, max_iter=300)
         lam = np.asarray(r.eigenvalues)
     np.testing.assert_allclose(lam, np.asarray(ref.eigenvalues), rtol=1e-9)
+
+
+def test_sharded_rewrite_forces_jnp():
+    """shard_problem must disable the Pallas per-axis dispatch for
+    LaplacianND (pallas_call has no SPMD partitioning rule)."""
+    nx = 8
+    A = LaplacianND(scale=jnp.asarray(1.0, jnp.float64), grid=(nx, nx, nx))
+    mesh = row_mesh(4)
+    As, _, _, _ = shard_problem(mesh, A)
+    assert As.force_jnp

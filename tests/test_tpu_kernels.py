@@ -4,10 +4,10 @@ The main suite forces JAX_PLATFORMS=cpu (conftest), so the Pallas paths
 are exercised there only in interpret mode.  Run this module directly on
 a TPU machine (from the repo root, no JAX_PLATFORMS override):
 
-    python -m pytest tests/test_tpu_kernels.py -q -p no:cacheprovider \
-        --override-ini=addopts= --confcutdir=tests/tpu_conftest_not_used
+    python tests/test_tpu_kernels.py
 
-or simply `python tests/test_tpu_kernels.py`.
+(pytest imports tests/conftest.py, which forces the CPU backend — the
+script form bypasses it).
 """
 
 import pathlib
