@@ -115,8 +115,12 @@ def main() -> None:
         from lobpcg_tpu import ChebyshevFilter
 
         hi = 4.0 + BARRIER + SHIFT + 0.1  # >= ||A|| for the lattice operator
+        # Column-chunk the filter at capacity-bound sizes (its recurrence
+        # holds ~4 [n, chunk] blocks live).
+        chunk = max(8, ss // 4) if n >= 2_000_000 else 0
         T = ChebyshevFilter(op=A, lo=jnp.asarray(2.0, dtype),
-                            hi=jnp.asarray(hi, dtype), degree=args.cheb)
+                            hi=jnp.asarray(hi, dtype), degree=args.cheb,
+                            chunk=chunk)
     elif not args.no_precond:
         tdiag = jnp.concatenate([2.0 + Vd, 2.0 + Vd])
         T = JacobiPreconditioner(tdiag)

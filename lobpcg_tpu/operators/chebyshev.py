@@ -28,20 +28,37 @@ import jax.numpy as jnp
 from lobpcg_tpu.operators.linop import LinearOperator, operator
 
 
-@operator(data_fields=("op", "lo", "hi"), meta_fields=("degree",))
+@operator(data_fields=("op", "lo", "hi"), meta_fields=("degree", "chunk"))
 class ChebyshevFilter(LinearOperator):
     """T ~ A^{-1} on [lo, hi] by `degree` Chebyshev-iteration steps.
 
     Use as the `T` argument of lobpcg/ilobpcg.  Requires the operator's
     spectrum within (0, hi] (shift first if A is indefinite).
+
+    `chunk`: apply the (linear) recurrence per column block of that
+    width — the iteration holds ~4 [n, chunk] blocks live, so chunking
+    halves/quarters the transient HBM at capacity-bound sizes.
     """
 
     op: LinearOperator
     lo: jax.Array  # scalar: lower edge of the approximated interval
     hi: jax.Array  # scalar: upper edge (>= spectral radius)
     degree: int = 8
+    chunk: int = 0  # 0 = whole block at once
 
     def matmat(self, X):
+        n, k = X.shape
+        if self.chunk and self.chunk < k and k % self.chunk == 0:
+            # lax.map serializes the chunks (a plain Python loop would
+            # let the scheduler run them concurrently and keep every
+            # chunk's recurrence transients live at once).
+            C = k // self.chunk
+            Xc = jnp.moveaxis(X.reshape(n, C, self.chunk), 1, 0)
+            Yc = jax.lax.map(self._apply, Xc)
+            return jnp.moveaxis(Yc, 0, 1).reshape(n, k)
+        return self._apply(X)
+
+    def _apply(self, X):
         dt = X.dtype
         theta = jnp.asarray((self.hi + self.lo) / 2.0, dt)
         delta = jnp.asarray((self.hi - self.lo) / 2.0, dt)
