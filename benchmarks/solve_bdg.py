@@ -79,6 +79,14 @@ def main() -> None:
     ap.add_argument("--no-ax-cache", action="store_true",
                     help="recompute A@X instead of carrying the cache "
                          "(lower peak HBM, one extra SpMM per iteration)")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate X0 to the solve (frees 2 n*ss scalars "
+                         "of HBM; X0 is rebuilt per repetition)")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="timed repetitions; best (min) wall-clock is "
+                         "reported — the remote TPU relay has ~2.5x "
+                         "load-dependent variance, so iterations is the "
+                         "stable metric and wall-clock is best-of-N")
     args = ap.parse_args()
 
     import jax
@@ -164,16 +172,33 @@ def main() -> None:
                     jnp.concatenate([jnp.real(T.d).astype(jnp.float32)] * 2)
                 )
 
-    # Compile once (cached), then time the solve.
-    r = ilobpcg(A, X0, B, T, config=cfg, key=jax.random.PRNGKey(0))
-    jax.block_until_ready(r.eigenvalues)
-    t0 = time.perf_counter()
-    r = ilobpcg(A, X0, B, T, config=cfg, key=jax.random.PRNGKey(0))
-    if args.realify:
-        lam, _, _ = derealify(r, nev)
-    else:
-        lam = np.asarray(r.eigenvalues)
-    wall = time.perf_counter() - t0
+    # Compile once (cached), then time `reps` solves and keep the best:
+    # the remote-relay wall-clock varies ~2.5x run to run (BASELINE.md),
+    # while the iteration count is deterministic.
+    x0_np = np.concatenate([u, u], axis=0)
+    if not args.realify:
+        X0 = None  # drop the prebuilt device X0 (one_solve rebuilds it)
+
+    def one_solve():
+        # Rebuild X0 per call: donation invalidates the buffer.
+        X0r = jnp.asarray(x0_np, dtype)
+        if args.realify:
+            X0r = X0  # realified X0 built above (donate unsupported)
+        t0 = time.perf_counter()
+        r = ilobpcg(A, X0r, B, T, config=cfg, key=jax.random.PRNGKey(0),
+                    donate=args.donate and not args.realify)
+        if args.realify:
+            lam, _, _ = derealify(r, nev)
+        else:
+            lam = np.asarray(r.eigenvalues)
+        return time.perf_counter() - t0, lam, r
+
+    one_solve()  # compile + warm-up
+    walls = []
+    for _ in range(max(1, args.reps)):
+        wall, lam, r = one_solve()
+        walls.append(wall)
+    wall = min(walls)
 
     out = {
         "metric": "ilobpcg_bdg_well_wall_clock_to_tol",
@@ -183,11 +208,16 @@ def main() -> None:
         "nev": nev,
         "size_sub": ss,
         "tol": args.tol,
+        # Primary metric: deterministic; wall-clock is best-of-reps.
         "iterations": int(r.iterations),
+        "reps": max(1, args.reps),
+        "wall_all": [round(w, 3) for w in walls],
         # For realified runs convergence counts duplicated real pairs;
         # report complex pairs so the field is comparable across modes.
         "converged": (int(r.converged) // 2 if args.realify
                       else int(r.converged)),
+        "quality5": int(r.quality5_count),
+        "rr_failed": int(r.rr_fail_count),
         "dtype": ("complex128->split-real f32" if args.realify
                   else str(dtype)),
         "device": str(jax.devices()[0].device_kind),

@@ -171,10 +171,12 @@ class Laplacian1D(LinearOperator):
     eigenvalues (k*pi)^2) and the BdG block-Laplacian A = diag(K, K)
     (`tests/test_ilobpcg.c:28-52`, segments=2).
 
-    On TPU f32 with a 128-aligned block width this dispatches to the
-    Pallas halo-DMA streaming kernel (ops/pallas/stencil.py); otherwise a
-    shift-add jnp formulation that XLA fuses (and, under row-sharding,
-    turns into local stencils + halo collective-permutes).
+    On TPU f32/bf16 this dispatches to the Pallas streaming stencil
+    kernel (ops/pallas/stencil.py) for any block width k >= 8 (full rate
+    at k % 128 == 0 — the HBM layout pads lanes to 128, so pick size_sub
+    in multiples of 128); otherwise a pad/slice jnp formulation that XLA
+    fuses (and, under row-sharding, turns into local stencils + halo
+    collective-permutes).
     """
 
     scale: jax.Array  # scalar 1/h^2
@@ -191,7 +193,7 @@ class Laplacian1D(LinearOperator):
             return stencil_matmat_pallas(
                 X, self.scale, num_segments=self.segments
             )
-        # Fallback (CPU, non-128-multiple widths, complex dtypes —
+        # Fallback (CPU, tiny widths/segments, complex dtypes —
         # complex<->f32 bitcasts are unimplemented on the TPU backend, so
         # no zero-copy reinterpret into the f32 kernel): pad + slice.
         # This formulation lowers 4-100x faster on TPU than the

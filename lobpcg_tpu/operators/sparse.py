@@ -34,25 +34,43 @@ def _bsr_to_ell(bip: np.ndarray, bix: np.ndarray, bv: np.ndarray):
     return cols, vals
 
 
-@operator(data_fields=("block_cols", "blocks"), meta_fields=("n",))
+@operator(
+    data_fields=("block_cols", "blocks", "strip_cols", "strip_vals"),
+    meta_fields=("n",),
+)
 class BSROperator(LinearOperator):
-    """Block-ELL sparse operator.
+    """Block-ELL sparse operator with a strip-ELL fast path.
 
     block_cols: [nb, R] int32 block-column indices (padding -> 0)
     blocks:     [nb, R, bs, bs] dense blocks (padding -> zeros)
+    strip_cols/strip_vals: optional strip-ELL re-expansion (built by the
+    constructors; see ops/pallas/bsr.ell_to_strip_ell) — the TPU SpMM
+    path that fills the MXU with one [128, Rs*bs] x [Rs*bs, k]
+    contraction per 128-row strip.
     """
 
     block_cols: jax.Array
     blocks: jax.Array
+    strip_cols: jax.Array = None
+    strip_vals: jax.Array = None
     n: int = 0
 
     def matmat(self, X):
         from lobpcg_tpu.ops.pallas.bsr import (
             bsr_matmat_pallas,
             bsr_matmat_reference,
+            bsr_strip_matmat_pallas,
+            bsr_strip_supported,
             bsr_supported,
         )
 
+        bs = self.blocks.shape[2]
+        if self.strip_vals is not None and bsr_strip_supported(
+            self.strip_vals, X, bs
+        ):
+            return bsr_strip_matmat_pallas(
+                self.strip_cols, self.strip_vals, X, bs=bs
+            )
         if bsr_supported(self.blocks, X):
             return bsr_matmat_pallas(self.block_cols, self.blocks, X)
         return bsr_matmat_reference(self.block_cols, self.blocks, X)
@@ -80,9 +98,14 @@ class BSROperator(LinearOperator):
             np.asarray(vals, np.float64),
         )
         cols, blocks = _bsr_to_ell(bip, bix, bv)
+        from lobpcg_tpu.ops.pallas.bsr import ell_to_strip_ell
+
+        sc, sv = ell_to_strip_ell(cols, blocks.astype(dtype))
         return cls(
             block_cols=jnp.asarray(cols),
             blocks=jnp.asarray(blocks, dtype),
+            strip_cols=jnp.asarray(sc),
+            strip_vals=jnp.asarray(sv, dtype),
             n=n,
         )
 

@@ -44,6 +44,7 @@ class IndefiniteRRResult(NamedTuple):
     lam: jax.Array  # [nx] real
     sig: jax.Array  # [k] i32 signature, sorted order (0 = dead sentinel)
     quality: jax.Array  # i32: 1 good, 5 poor (dual-basis projection)
+    rr_ok: jax.Array  # bool: projected pencil solve succeeded
 
 
 def signature_sort(lam: jax.Array, sig: jax.Array) -> jax.Array:
@@ -75,14 +76,14 @@ def indefinite_rayleigh_ritz(
 ):
     """Initial indefinite RR on a full-width block.
 
-    Returns (Cx [m,m], lam [m] real sorted, sig [m] i32 sorted).
+    Returns (Cx [m,m], lam [m] real sorted, sig [m] i32 sorted, ok bool).
     Reference: `indefinite_rr_impl.inc:51-149` (single B-normalization).
     Mixed precision: the projected pencil solve and B-normalization run in
     rr_dtype; Cx is cast back to X's dtype, lam stays high.
     """
     GA = gram_self(X, A, out_dtype=rr_dtype)
     GB = gram_self(X, B, out_dtype=rr_dtype)
-    lam, V = pencil_eig(GA, GB, method=method, tiny=tiny)
+    lam, V, ok = pencil_eig(GA, GB, method=method, tiny=tiny)
     V, d = _b_normalize(V, GB, tiny)
     sig = jnp.where(d.real >= 0, 1, -1).astype(jnp.int32)
     perm = signature_sort(lam, sig)
@@ -90,6 +91,7 @@ def indefinite_rayleigh_ritz(
         masking.permute_cols(V, perm).astype(X.dtype),
         lam[perm],
         sig[perm],
+        ok,
     )
 
 
@@ -135,7 +137,7 @@ def indefinite_rayleigh_ritz_modified(
     GA = masking.inject_diag(GA, live, 1.0)
     GB = masking.inject_diag(GB, live, 1.0)
 
-    lam_all, V = pencil_eig(GA, GB, method=method, tiny=tiny)
+    lam_all, V, rr_ok = pencil_eig(GA, GB, method=method, tiny=tiny)
 
     # Double B-normalization (`indefinite_rr_modified_impl.inc:141-180`).
     V, _ = _b_normalize(V, GB, tiny)
@@ -179,7 +181,7 @@ def indefinite_rayleigh_ritz_modified(
         )
         return IndefiniteRRResult(
             Cx.astype(sdt), Cp.astype(sdt), Cx.astype(sdt), lam, sig,
-            jnp.int32(1),
+            jnp.int32(1), rr_ok,
         )
 
     def poor(_):
@@ -191,7 +193,7 @@ def indefinite_rayleigh_ritz_modified(
         )
         return IndefiniteRRResult(
             Cx.astype(sdt), Cp.astype(sdt), Cx_o.astype(sdt), lam, sig,
-            jnp.int32(5),
+            jnp.int32(5), rr_ok,
         )
 
     return jax.lax.cond(quality_ok, good, poor, None)

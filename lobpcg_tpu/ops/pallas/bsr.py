@@ -1,13 +1,26 @@
-"""Pallas TPU kernel: BSR (block-ELL) sparse matrix x dense block SpMM.
+"""Pallas TPU kernels: BSR sparse matrix x dense block SpMM.
 
 The reference funnels sparse operators through a per-column matvec
 callback (`include/lobpcg/linop.h`); the TPU-native materialized-sparse
-path instead stores the matrix as dense (bs x bs) blocks in ELL layout —
-each block row padded to a fixed `R` blocks — so the MXU sees contiguous
-tiles and the gather of X block rows is driven by scalar-prefetched
-block-column indices (`pltpu.PrefetchScalarGridSpec`).
+path stores the matrix in block layouts whose gathers are driven by
+scalar-prefetched block-column indices (`pltpu.PrefetchScalarGridSpec`).
 
-Y[i*bs:(i+1)*bs] = sum_r blocks[i, r] @ X[cols[i, r]*bs : +bs]
+Two kernels:
+
+1. `bsr_strip_matmat_pallas` (the fast path): **strip-ELL** layout.
+   Block rows are grouped into 128-row strips; each strip stores the
+   *union* of its block-columns once and a dense [128, Rs*bs] matrix
+   chunk re-expanded against that union.  Per strip the kernel gathers
+   the union's X rows into a VMEM scratch (one [bs, k] pipelined fetch
+   per grid step) and issues ONE [128, Rs*bs] x [Rs*bs, k] MXU
+   contraction — full 128-row systolic occupancy, contraction depth
+   Rs*bs, and each shared X block row fetched once per strip instead of
+   once per bs-row block row.
+
+2. `bsr_matmat_pallas` (legacy/general): plain block-ELL, one
+   [bs, bs] x [bs, k] dot per grid step.  At bs=8 this uses 8 of the
+   MXU's 128 rows per issue — kept for shapes the strip converter does
+   not cover, and as a reference implementation.
 
 Padding blocks are all-zero with col index 0: they contribute nothing.
 """
@@ -82,6 +95,148 @@ def bsr_matmat_pallas(
         out_shape=jax.ShapeDtypeStruct((n, k), X.dtype),
         interpret=interpret,
     )(cols_flat, blocks, X)
+
+
+STRIP = 128  # MXU systolic rows; strip-ELL groups this many matrix rows
+
+
+def ell_to_strip_ell(block_cols, blocks, *, strip: int = STRIP):
+    """Host-side conversion: block-ELL -> strip-ELL.
+
+    Returns (strip_cols [ns, Rs] i32, strip_vals [ns, strip, Rs*bs]) as
+    numpy arrays.  Each strip groups SB = strip//bs block rows; its
+    column list is the sorted union of the members' block-columns, and
+    strip_vals[s][g*bs + i, u*bs + j] = A-block(row g, col strip_cols[u])
+    re-expanded against the union (absent -> zero).  The trailing strip
+    is zero-padded (cols 0 / zero values).
+
+    Trade-off: union re-expansion inflates stored matrix bytes by
+    ~Rs/R, but each shared X block row is gathered once per strip
+    instead of once per block row, and the kernel's contraction depth
+    grows from bs to Rs*bs.  For banded matrices (the LOBPCG sparse
+    workload) the X-gather saving dominates at solver block widths.
+    """
+    import numpy as np
+
+    cols = np.asarray(block_cols)
+    vals = np.asarray(blocks)
+    nb, R, bs, _ = vals.shape
+    if strip % bs:
+        raise ValueError(f"block size {bs} must divide strip {strip}")
+    SB = strip // bs
+    ns = -(-nb // SB)
+
+    # Identify real (non-padding) blocks: padding is col 0 + all-zero.
+    nz = vals.reshape(nb, R, -1).any(axis=2)
+    nz[:, 0] = nz[:, 0] | (cols[:, 0] != 0) | nz[:, 0]
+    # A genuinely-zero stored block at col 0 is indistinguishable from
+    # padding; dropping it is harmless (contributes nothing).
+
+    strip_cols_list = []
+    for s in range(ns):
+        rows = range(s * SB, min((s + 1) * SB, nb))
+        u = np.unique(
+            np.concatenate([cols[i][nz[i]] for i in rows])
+            if any(nz[i].any() for i in rows)
+            else np.zeros(1, np.int64)
+        )
+        strip_cols_list.append(u)
+    Rs = max(1, max(len(u) for u in strip_cols_list))
+
+    strip_cols = np.zeros((ns, Rs), np.int32)
+    strip_vals = np.zeros((ns, strip, Rs * bs), vals.dtype)
+    for s in range(ns):
+        u = strip_cols_list[s]
+        strip_cols[s, : len(u)] = u
+        pos = {int(c): p for p, c in enumerate(u)}
+        for g in range(SB):
+            i = s * SB + g
+            if i >= nb:
+                break
+            for r in range(R):
+                if not nz[i, r]:
+                    continue
+                p = pos[int(cols[i, r])]
+                strip_vals[
+                    s, g * bs : (g + 1) * bs, p * bs : (p + 1) * bs
+                ] += vals[i, r]
+    return strip_cols, strip_vals
+
+
+@functools.partial(jax.jit, static_argnames=("bs", "interpret"))
+def bsr_strip_matmat_pallas(
+    strip_cols: jax.Array,  # [ns, Rs] i32
+    strip_vals: jax.Array,  # [ns, strip, Rs*bs]
+    X: jax.Array,  # [n, k]
+    *,
+    bs: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Strip-ELL SpMM: one [strip, Rs*bs] x [Rs*bs, k] MXU contraction
+    per 128-row strip, X union rows gathered by scalar prefetch."""
+    ns, Rs = strip_cols.shape
+    strip = strip_vals.shape[1]
+    n, k = X.shape
+    cols_flat = strip_cols.reshape(-1).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ns, Rs),
+        in_specs=[
+            # Whole strip chunk, constant over r: fetched once per strip.
+            pl.BlockSpec(
+                (1, strip, Rs * bs), lambda s, r, cols: (s, 0, 0)
+            ),
+            # One [bs, k] X block row per step, gathered by union index.
+            pl.BlockSpec(
+                (bs, k), lambda s, r, cols: (cols[s * Rs + r], 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec((strip, k), lambda s, r, cols: (s, 0)),
+        scratch_shapes=[pltpu.VMEM((Rs * bs, k), jnp.float32)],
+    )
+
+    def kernel(cols_ref, vals_ref, x_ref, o_ref, xg_ref):
+        r = pl.program_id(1)
+        nr = pl.num_programs(1)
+        off = pl.multiple_of(r * bs, bs)
+        xg_ref[pl.ds(off, bs), :] = x_ref[...].astype(jnp.float32)
+
+        @pl.when(r == nr - 1)
+        def _():
+            # Full-f32 MXU passes: the SpMM feeds residuals and Grams;
+            # default bf16 passes cost ~3 digits (measured 3.6e-3 rel).
+            o_ref[...] = jnp.dot(
+                vals_ref[0],
+                xg_ref[...],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ns * strip, k), X.dtype),
+        interpret=interpret,
+    )(cols_flat, strip_vals, X)
+    return out[:n]
+
+
+def bsr_strip_supported(strip_vals: jax.Array, X: jax.Array,
+                        bs: int) -> bool:
+    ns, strip, w = strip_vals.shape
+    if X.dtype != jnp.float32 or strip_vals.dtype != jnp.float32:
+        return False
+    if bs % 8 or strip % bs:
+        return False
+    if X.shape[1] < 8:
+        return False
+    # VMEM: strip chunk + gather scratch + out tile, double-buffered.
+    k = max(X.shape[1], 128)
+    vmem = 4 * (strip * w + w * k + strip * k) * 2
+    if vmem > 100 * (1 << 20):
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def bsr_matmat_reference(

@@ -10,11 +10,17 @@ part 1) this module provides:
   eigh(M) = (mu, Q), then lambda = 1/mu, v = L^{-H} Q, and
   v^H GB v = mu so the signature is sign(mu) for free.  Fully on-device:
   potrf + 2 trsm + eigh, no host round-trip inside the solver loop.
+  When GA is *indefinite*, a definite-combination ladder (KPS Thm 2.3:
+  any definite pencil admits an HPD combination c GA + s GB) retries the
+  reduction on C = c GA + s GB over a fixed (c, s) candidate grid and
+  maps the eigenvalues back, still fully on-device; only a genuinely
+  non-definite pencil fails (NaN poison + ok=False, surfaced as
+  `rr_failed` by the driver).
 - 'qz': scipy.linalg.eig (QZ) via `jax.pure_callback` — handles
-  indefinite/singular GA; serializes at each iteration but the matrix is
+  non-definite pencils; serializes at each iteration but the matrix is
   only (3*size_sub)^2.
-- 'auto': cholesky, with a QZ fallback selected by `lax.cond` when
-  potrf produces NaN.
+- 'auto': cholesky + ladder, with a QZ fallback selected by `lax.cond`
+  when no definite combination exists.
 
 Eigenvalue guard: |beta| (resp. |mu|) below `tiny` maps to +-1e30
 sentinels, matching `indefinite_rr_impl.inc:99-108`.
@@ -43,30 +49,82 @@ def _sentinel_lambda(num, den, tiny, rdt):
     return jnp.where(ok, lam, sent).astype(rdt)
 
 
-def pencil_eig_cholesky(GA: jax.Array, GB: jax.Array, tiny: float):
-    """KPS reduction.  Returns (lam [k] real, V [k,k], ok scalar bool).
-
-    Requires GA Hermitian positive definite (true for the BdG family:
-    GA = S^H A S with A SPD and S full column rank).
-    """
-    rdt = jnp.zeros((), GA.dtype).real.dtype
-    GAh = 0.5 * (GA + GA.conj().T)
-    GBh = 0.5 * (GB + GB.conj().T)
-    L = jnp.linalg.cholesky(GAh)
-    ok = ~jnp.any(jnp.isnan(L))
-    L_safe = jnp.where(ok, L, jnp.eye(GA.shape[0], dtype=GA.dtype))
+def _kps_reduce(L_safe: jax.Array, GBh: jax.Array, tiny: float):
+    """Shared KPS body: given chol factor L of an HPD C, solve the
+    pencil C v = lam_C GB v.  Returns (lam_C [k] real, V [k,k])."""
+    rdt = jnp.zeros((), GBh.dtype).real.dtype
     Y = solve_triangular(L_safe, GBh, lower=True)  # L^-1 GB
     M = solve_triangular(L_safe, Y.conj().T, lower=True).conj().T
     M = 0.5 * (M + M.conj().T)
     mu, Q = jnp.linalg.eigh(M)
-    # v = L^-H q;  GA v = (1/mu) GB v;  v^H GB v = mu.
-    V = solve_triangular(L_safe, Q.astype(GA.dtype), lower=True, trans=2)
-    lam = _sentinel_lambda(
-        jnp.ones_like(mu).astype(GA.dtype), mu.astype(GA.dtype), tiny, rdt
+    # v = L^-H q;  C v = (1/mu) GB v;  v^H GB v = mu.
+    V = solve_triangular(L_safe, Q.astype(GBh.dtype), lower=True, trans=2)
+    lam_C = _sentinel_lambda(
+        jnp.ones_like(mu).astype(GBh.dtype), mu.astype(GBh.dtype), tiny, rdt
     )
-    # A failed potrf must not masquerade as a valid solve: poison the
-    # outputs so residuals go NaN and the failure is visible (callers of
-    # method='cholesky' opted out of the QZ fallback that 'auto' takes).
+    return lam_C, V
+
+
+# Definite-combination candidates (c, t): C = c*GA + t*rho*GB with
+# rho = ||GA||_F / ||GB||_F.  (1, 0) first so the plain HPD-GA case costs
+# exactly the old path; the rest sweep both GA signs and growing |s| to
+# find the HPD combination a definite pencil is guaranteed to have.
+_LADDER_C = (1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0,
+             1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0)
+_LADDER_T = (0.0, 0.0, 0.5, -0.5, 0.5, -0.5, 1.0, -1.0, 1.0, -1.0,
+             2.0, -2.0, 2.0, -2.0, 4.0, -4.0, 4.0, -4.0)
+
+
+def pencil_eig_cholesky(GA: jax.Array, GB: jax.Array, tiny: float):
+    """KPS reduction with a definite-combination ladder.
+    Returns (lam [k] real, V [k,k], ok scalar bool).
+
+    Plain path (HPD GA — true for the BdG family: GA = S^H A S with A SPD
+    and S full column rank) is candidate 0 of the ladder and costs one
+    potrf.  An indefinite GA (the reference covers it via LAPACK GGEV,
+    `include/lobpcg/blas_wrapper.h:489-519`) falls back to the first HPD
+    combination C = c GA + s GB; the pencil (C, GB) has the same
+    eigenvectors and lam = (lam_C - s) / c.  ok=False only when no ladder
+    combination is definite (non-definite pencil) — outputs are then NaN-
+    poisoned so the failure is visible, and the driver flags `rr_failed`.
+    """
+    k = GA.shape[0]
+    dt = GA.dtype
+    rdt = jnp.zeros((), dt).real.dtype
+    GAh = 0.5 * (GA + GA.conj().T)
+    GBh = 0.5 * (GB + GB.conj().T)
+
+    L0 = jnp.linalg.cholesky(GAh)
+    ok0 = ~jnp.any(jnp.isnan(L0))
+
+    def plain(_):
+        return L0, jnp.asarray(1.0, rdt), jnp.asarray(0.0, rdt), ok0
+
+    def ladder(_):
+        nGA = jnp.sqrt(jnp.sum(jnp.abs(GAh) ** 2)).real
+        nGB = jnp.sqrt(jnp.sum(jnp.abs(GBh) ** 2)).real
+        rho = jnp.where(nGB > 0, nGA / jnp.where(nGB > 0, nGB, 1.0), 1.0)
+        cs = jnp.asarray(_LADDER_C[1:], rdt)
+        ss = jnp.asarray(_LADDER_T[1:], rdt) * rho
+        Cs = (
+            cs[:, None, None].astype(dt) * GAh[None]
+            + ss[:, None, None].astype(dt) * GBh[None]
+        )
+        Ls = jnp.linalg.cholesky(Cs)
+        oks = ~jnp.any(jnp.isnan(Ls), axis=(1, 2))
+        idx = jnp.argmax(oks)  # first HPD candidate
+        return Ls[idx], cs[idx], ss[idx], jnp.any(oks)
+
+    L, c, s, ok = jax.lax.cond(ok0, plain, ladder, None)
+    L_safe = jnp.where(ok, L, jnp.eye(k, dtype=dt))
+    lam_C, V = _kps_reduce(L_safe, GBh, tiny)
+    # Map back: lam = (lam_C - s) / c; +-BIG sentinels keep sentinel
+    # magnitude with the sign they get under division by c = +-1.
+    lam = jnp.where(
+        jnp.abs(lam_C) >= 0.5 * BIG,
+        jnp.sign(lam_C) * c * BIG,
+        (lam_C - s) * c,  # c in {+1,-1} so 1/c == c
+    ).astype(rdt)
     nan = jnp.asarray(jnp.nan, rdt)
     lam = jnp.where(ok, lam, nan)
     V = jnp.where(ok, V, jnp.asarray(jnp.nan, V.dtype))
@@ -109,20 +167,21 @@ def pencil_eig_qz(GA: jax.Array, GB: jax.Array, tiny: float):
 
 def pencil_eig(
     GA: jax.Array, GB: jax.Array, *, method: str, tiny: float
-) -> Tuple[jax.Array, jax.Array]:
-    """Dispatch: returns (lam [k] real, V [k,k] raw eigenvectors)."""
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Dispatch: returns (lam [k] real, V [k,k] raw eigenvectors,
+    ok scalar bool — False means the solve failed and outputs are NaN)."""
     if method == "cholesky":
-        lam, V, _ = pencil_eig_cholesky(GA, GB, tiny)
-        return lam, V
+        return pencil_eig_cholesky(GA, GB, tiny)
     if method == "qz":
-        lam, V, _ = pencil_eig_qz(GA, GB, tiny)
-        return lam, V
+        return pencil_eig_qz(GA, GB, tiny)
     if method == "auto":
         lam_c, V_c, ok = pencil_eig_cholesky(GA, GB, tiny)
 
         def fallback(_):
             lam_q, V_q, _ = pencil_eig_qz(GA, GB, tiny)
-            return lam_q, V_q
+            return lam_q, V_q, jnp.bool_(True)
 
-        return jax.lax.cond(ok, lambda _: (lam_c, V_c), fallback, None)
+        return jax.lax.cond(
+            ok, lambda _: (lam_c, V_c, jnp.bool_(True)), fallback, None
+        )
     raise ValueError(f"unknown pencil method {method!r}")

@@ -55,12 +55,13 @@ class _Carry(NamedTuple):
     res: jax.Array  # [nev] real
     conv: jax.Array  # i32
     it: jax.Array  # i32
+    q5: jax.Array  # i32 — quality=5 dual-basis iterations
+    rr_fail: jax.Array  # i32 — failed projected pencil solves
     hist: object  # SolveHistory or None (static per config)
 
 
-@functools.partial(jax.jit, static_argnums=(5,))
-def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig, P0=None,
-                 p0_cnt=0):
+def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
+                  p0_cnt=0):
     n = A.shape[0]
     m = config.size_sub
     nev = config.nev
@@ -83,7 +84,7 @@ def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig, P0=None,
     X = robust_basis_init(X, B, k_r, tau=eps_drop, rr_dtype=rrdt)
 
     # Initial indefinite RR (`ilobpcg_impl.inc:105-109`).
-    Cx0, lam0, sig0 = indefinite_rayleigh_ritz(
+    Cx0, lam0, sig0, rr_ok0 = indefinite_rayleigh_ritz(
         X, A, B, method=config.rr_method, tiny=tn, rr_dtype=rrdt
     )
     X = mm(X, Cx0)
@@ -101,7 +102,7 @@ def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig, P0=None,
     hist0 = observe.history_init(config, m, lam0.dtype, res.dtype)
     carry0 = _Carry(
         X, P_init, W, AX, lam0, sig0, res, jnp.int32(0), jnp.int32(0),
-        hist0
+        jnp.int32(0), (~rr_ok0).astype(jnp.int32), hist0
     )
 
     def cond(c: _Carry):
@@ -170,9 +171,14 @@ def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig, P0=None,
         Wc = masking.shift_cols(Wres, convn, act)
 
         observe.log_iteration(config, "ilobpcg", c.it, rr.lam, res, convn)
-        hist = observe.history_update(c.hist, c.it, rr.lam, res, convn)
+        flag = rr.quality + 8 * (~rr.rr_ok).astype(jnp.int32)
+        hist = observe.history_update(
+            c.hist, c.it, rr.lam, res, convn, flag
+        )
         return _Carry(
             Xn, Pc, Wc, AXn, rr.lam, rr.sig[:m], res, convn, c.it + 1,
+            c.q5 + (rr.quality == 5).astype(jnp.int32),
+            c.rr_fail + (~rr.rr_ok).astype(jnp.int32),
             hist
         )
 
@@ -191,7 +197,16 @@ def _ilobpcg_jit(A, B, T, X0, key, config: SolverConfig, P0=None,
         basis=cf.X,
         momentum=cf.P,
         history=cf.hist,
+        quality5_count=cf.q5,
+        rr_fail_count=cf.rr_fail,
     )
+
+
+_ilobpcg_jit = functools.partial(jax.jit, static_argnums=(5,))(_ilobpcg_impl)
+# See solvers.lobpcg: donating X0/P0 frees 2 n*m scalars of HBM.
+_ilobpcg_jit_donate = functools.partial(
+    jax.jit, static_argnums=(5,), donate_argnums=(3, 6)
+)(_ilobpcg_impl)
 
 
 def ilobpcg(
@@ -207,6 +222,7 @@ def ilobpcg(
     max_iter: int = 100,
     key: Optional[jax.Array] = None,
     config: Optional[SolverConfig] = None,
+    donate: bool = False,
 ) -> ILOBPCGResult:
     """Solve A x = lambda B x with **indefinite** B for the eigenvalues
     closest to the positive spectrum edge (KPS ordering: positive
@@ -238,5 +254,6 @@ def ilobpcg(
             f"X0 has {X0.shape[0]} rows, expected A.shape[0]={A.shape[0]}"
         )
     P0, p0_cnt = _prepare_p0(P0, A, config)
-    r = _ilobpcg_jit(A, B, T, X0, key, config, P0, p0_cnt)
+    fn = _ilobpcg_jit_donate if donate else _ilobpcg_jit
+    r = fn(A, B, T, X0, key, config, P0, p0_cnt)
     return r._replace(eigenvectors=r.basis[:, : config.nev])

@@ -55,12 +55,12 @@ class _Carry(NamedTuple):
     use_ortho: jax.Array  # i32 (0 chol path, 1 ortho path; sticky)
     it: jax.Array  # i32
     p_cnt: jax.Array  # i32 — valid P columns (reference's nretain)
+    retries: jax.Array  # i32 — ortho-retry (RR flag 2) occurrences
     hist: object  # SolveHistory or None (static per config)
 
 
-@functools.partial(jax.jit, static_argnums=(5,))
-def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig, P0=None,
-                p0_cnt=0):
+def _lobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
+                 p0_cnt=0):
     n = A.shape[0]
     m = config.size_sub
     nev = config.nev
@@ -113,6 +113,7 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig, P0=None,
         jnp.int32(0),
         jnp.int32(0),
         jnp.int32(p0_cnt) if P0 is not None else jnp.int32(0),
+        jnp.int32(0),
         hist0,
     )
 
@@ -190,9 +191,11 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig, P0=None,
             W, nw = args
             return rr, W, jnp.maximum(c.use_ortho, rr.flag)
 
+        flag0 = rr.flag  # first-attempt RR status (2 = retry fired)
         rr, W, use_ortho = jax.lax.cond(
             rr.flag == 2, retry, no_retry, (W, nw)
         )
+        retries = c.retries + (flag0 == 2).astype(jnp.int32)
 
         # Project back [X, P] = S [Cx | Cp]  (`lobpcg_impl.inc:204-208`),
         # blockwise: no S, no XP concat.
@@ -217,10 +220,12 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig, P0=None,
         Wc = masking.shift_cols(Wres, convn, act)
 
         observe.log_iteration(config, "lobpcg", c.it, rr.lam, res, convn)
-        hist = observe.history_update(c.hist, c.it, rr.lam, res, convn)
+        hist = observe.history_update(
+            c.hist, c.it, rr.lam, res, convn, flag0
+        )
         return _Carry(
             Xn, Pc, Wc, AXn, rr.lam, res, convn, use_ortho, c.it + 1,
-            p_next, hist
+            p_next, retries, hist
         )
 
     cf = jax.lax.while_loop(cond, body, carry0)
@@ -237,7 +242,18 @@ def _lobpcg_jit(A, B, T, X0, key, config: SolverConfig, P0=None,
         basis=cf.X,
         momentum=cf.P,
         history=cf.hist,
+        ortho_retries=cf.retries,
     )
+
+
+_lobpcg_jit = functools.partial(jax.jit, static_argnums=(5,))(_lobpcg_impl)
+# Donating X0/P0 frees their HBM during the solve (2 GB each at the
+# dim-4M x 128 flagship shape — the difference between fitting and OOM on
+# a 16 GB chip).  Opt-in via lobpcg(..., donate=True): the caller's X0/P0
+# buffers are invalidated.
+_lobpcg_jit_donate = functools.partial(
+    jax.jit, static_argnums=(5,), donate_argnums=(3, 6)
+)(_lobpcg_impl)
 
 
 def _prepare_p0(P0, A, config):
@@ -278,6 +294,7 @@ def lobpcg(
     max_iter: int = 100,
     key: Optional[jax.Array] = None,
     config: Optional[SolverConfig] = None,
+    donate: bool = False,
 ) -> LOBPCGResult:
     """Solve A x = lambda B x for the nev smallest eigenpairs.
 
@@ -285,6 +302,10 @@ def lobpcg(
     (`lobpcg.h:69-75` -> `src/core/lobpcg_impl.inc:60`): B=None gives the
     standard problem, T is an optional preconditioner, X0 an optional
     initial guess ([n, size_sub]; first nev columns meaningful).
+
+    donate=True donates the X0/P0 buffers to the solve (they are
+    invalidated) — frees 2 n*size_sub scalars of HBM at capacity-bound
+    problem sizes.
     """
     if config is None:
         if nev is None:
@@ -307,5 +328,6 @@ def lobpcg(
             f"X0 has {X0.shape[0]} rows, expected A.shape[0]={A.shape[0]}"
         )
     P0, p0_cnt = _prepare_p0(P0, A, config)
-    r = _lobpcg_jit(A, B, T, X0, key, config, P0, p0_cnt)
+    fn = _lobpcg_jit_donate if donate else _lobpcg_jit
+    r = fn(A, B, T, X0, key, config, P0, p0_cnt)
     return r._replace(eigenvectors=r.basis[:, : config.nev])

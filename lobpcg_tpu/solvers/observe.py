@@ -24,17 +24,20 @@ def history_init(config, m: int, lam_dtype, res_dtype):
         eigenvalues=jnp.zeros((config.max_iter, m), lam_dtype),
         residual_norms=jnp.zeros((config.max_iter, config.nev), res_dtype),
         converged=jnp.zeros((config.max_iter,), jnp.int32),
+        flags=jnp.zeros((config.max_iter,), jnp.int32),
     )
 
 
-def history_update(hist, it, lam, res, conv):
+def history_update(hist, it, lam, res, conv, flag=None):
     """Write row `it`; no-op (None) when recording is off."""
     if hist is None:
         return None
+    flags = hist.flags if flag is None else hist.flags.at[it].set(flag)
     return SolveHistory(
         eigenvalues=hist.eigenvalues.at[it].set(lam),
         residual_norms=hist.residual_norms.at[it].set(res),
         converged=hist.converged.at[it].set(conv),
+        flags=flags,
     )
 
 

@@ -70,9 +70,10 @@ def test_indefinite_rr_diag_b():
     A = dense_op(np.diag(a), jnp.float64)
     B = dense_op(np.diag(b), jnp.float64)
     X = jnp.eye(n)  # full space
-    Cx, lam, sig = indefinite_rayleigh_ritz(
+    Cx, lam, sig, ok = indefinite_rayleigh_ritz(
         X, A, B, method="cholesky", tiny=1e-30
     )
+    assert bool(ok)
     # positive eigenvalues ascending: 1,2,3,4 (sig +1); negative
     # descending: -5,-6,-7,-8 (sig -1)
     np.testing.assert_allclose(

@@ -33,14 +33,20 @@ def _stencil_check():
         stencil_supported,
     )
 
-    n, k = 8192, 256
-    X = jax.random.uniform(jax.random.PRNGKey(0), (n, k), jnp.float32, -1, 1)
-    assert stencil_supported(X, 2)
-    Y = np.asarray(stencil_matmat_pallas(X, jnp.float32(1.7), num_segments=2))
-    Xs = np.asarray(X).reshape(2, n // 2, k)
-    Xp = np.pad(Xs, ((0, 0), (1, 1), (0, 0)))
-    ref = (1.7 * (2 * Xs - Xp[:, 2:] - Xp[:, :-2])).reshape(n, k)
-    np.testing.assert_allclose(Y, ref, atol=1e-4)
+    n = 8192
+    # k = 64: sub-128 lane widths must work too (size_sub = 64 solves).
+    for k in (64, 128, 256):
+        X = jax.random.uniform(
+            jax.random.PRNGKey(0), (n, k), jnp.float32, -1, 1
+        )
+        assert stencil_supported(X, 2)
+        Y = np.asarray(
+            stencil_matmat_pallas(X, jnp.float32(1.7), num_segments=2)
+        )
+        Xs = np.asarray(X).reshape(2, n // 2, k)
+        Xp = np.pad(Xs, ((0, 0), (1, 1), (0, 0)))
+        ref = (1.7 * (2 * Xs - Xp[:, 2:] - Xp[:, :-2])).reshape(n, k)
+        np.testing.assert_allclose(Y, ref, atol=1e-4)
 
 
 def _bsr_check():
