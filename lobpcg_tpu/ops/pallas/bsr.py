@@ -125,42 +125,53 @@ def ell_to_strip_ell(block_cols, blocks, *, strip: int = STRIP):
         raise ValueError(f"block size {bs} must divide strip {strip}")
     SB = strip // bs
     ns = -(-nb // SB)
+    nbp = ns * SB
 
     # Identify real (non-padding) blocks: padding is col 0 + all-zero.
-    nz = vals.reshape(nb, R, -1).any(axis=2)
-    nz[:, 0] = nz[:, 0] | (cols[:, 0] != 0) | nz[:, 0]
-    # A genuinely-zero stored block at col 0 is indistinguishable from
-    # padding; dropping it is harmless (contributes nothing).
-
-    strip_cols_list = []
-    for s in range(ns):
-        rows = range(s * SB, min((s + 1) * SB, nb))
-        u = np.unique(
-            np.concatenate([cols[i][nz[i]] for i in rows])
-            if any(nz[i].any() for i in rows)
-            else np.zeros(1, np.int64)
+    # (A genuinely-zero stored block at col 0 is indistinguishable from
+    # padding; dropping it is harmless — it contributes nothing.)
+    nz = vals.reshape(nb, R, -1).any(axis=2) | (cols != 0)
+    if nbp > nb:  # zero-pad the trailing partial strip
+        pad = nbp - nb
+        cols = np.concatenate([cols, np.zeros((pad, R), cols.dtype)])
+        vals = np.concatenate(
+            [vals, np.zeros((pad, R, bs, bs), vals.dtype)]
         )
-        strip_cols_list.append(u)
-    Rs = max(1, max(len(u) for u in strip_cols_list))
+        nz = np.concatenate([nz, np.zeros((pad, R), bool)])
 
+    # Per-strip dense rank of each member's column within the sorted
+    # union (vectorized: sort, mark firsts, cumsum, un-permute).
+    M = SB * R
+    BIGC = np.int64(1) << 40
+    c = np.where(nz, cols.astype(np.int64), BIGC).reshape(ns, M)
+    order = np.argsort(c, axis=1, kind="stable")
+    cs = np.take_along_axis(c, order, 1)
+    new = np.ones((ns, M), bool)
+    new[:, 1:] = cs[:, 1:] != cs[:, :-1]
+    rank_sorted = np.cumsum(new, axis=1) - 1
+    rank = np.empty_like(rank_sorted)
+    np.put_along_axis(rank, order, rank_sorted, 1)
+    live = c != BIGC
+    Rs = max(1, int((rank_sorted * live[np.arange(ns)[:, None], order]
+                     ).max(initial=0)) + 1)
+
+    s_idx, m_idx = np.nonzero(live)
     strip_cols = np.zeros((ns, Rs), np.int32)
-    strip_vals = np.zeros((ns, strip, Rs * bs), vals.dtype)
-    for s in range(ns):
-        u = strip_cols_list[s]
-        strip_cols[s, : len(u)] = u
-        pos = {int(c): p for p, c in enumerate(u)}
-        for g in range(SB):
-            i = s * SB + g
-            if i >= nb:
-                break
-            for r in range(R):
-                if not nz[i, r]:
-                    continue
-                p = pos[int(cols[i, r])]
-                strip_vals[
-                    s, g * bs : (g + 1) * bs, p * bs : (p + 1) * bs
-                ] += vals[i, r]
-    return strip_cols, strip_vals
+    strip_cols[s_idx, rank[s_idx, m_idx]] = c[s_idx, m_idx]
+
+    # Scatter-add block values: [ns, SB, bs, Rs, bs] view of
+    # [ns, strip, Rs*bs].
+    sv5 = np.zeros((ns, SB, bs, Rs, bs), vals.dtype)
+    g_idx = m_idx // R
+    r_idx = m_idx % R
+    np.add.at(
+        sv5,
+        (s_idx[:, None, None], g_idx[:, None, None],
+         np.arange(bs)[None, :, None], rank[s_idx, m_idx][:, None, None],
+         np.arange(bs)[None, None, :]),
+        vals.reshape(ns * SB, R, bs, bs)[s_idx * SB + g_idx, r_idx],
+    )
+    return strip_cols, sv5.reshape(ns, strip, Rs * bs)
 
 
 @functools.partial(jax.jit, static_argnames=("bs", "interpret"))

@@ -61,7 +61,7 @@ class _Carry(NamedTuple):
 
 
 def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
-                  p0_cnt=0):
+                  p0_cnt=0, it_cap=None):
     n = A.shape[0]
     m = config.size_sub
     nev = config.nev
@@ -105,8 +105,12 @@ def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
         jnp.int32(0), (~rr_ok0).astype(jnp.int32), hist0
     )
 
+    # Runtime iteration cap (see solvers.lobpcg): traced, so chunked
+    # drivers vary it per call with ONE compile.
+    limit = config.max_iter if it_cap is None else it_cap
+
     def cond(c: _Carry):
-        return (c.it < config.max_iter) & (c.conv < nev)
+        return (c.it < limit) & (c.conv < nev)
 
     def body(c: _Carry):
         it0 = c.it == 0
@@ -223,6 +227,7 @@ def ilobpcg(
     key: Optional[jax.Array] = None,
     config: Optional[SolverConfig] = None,
     donate: bool = False,
+    it_cap=None,
 ) -> ILOBPCGResult:
     """Solve A x = lambda B x with **indefinite** B for the eigenvalues
     closest to the positive spectrum edge (KPS ordering: positive
@@ -255,5 +260,5 @@ def ilobpcg(
         )
     P0, p0_cnt = _prepare_p0(P0, A, config)
     fn = _ilobpcg_jit_donate if donate else _ilobpcg_jit
-    r = fn(A, B, T, X0, key, config, P0, p0_cnt)
+    r = fn(A, B, T, X0, key, config, P0, p0_cnt, it_cap)
     return r._replace(eigenvectors=r.basis[:, : config.nev])

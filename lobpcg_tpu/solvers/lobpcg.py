@@ -60,7 +60,7 @@ class _Carry(NamedTuple):
 
 
 def _lobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
-                 p0_cnt=0):
+                 p0_cnt=0, it_cap=None):
     n = A.shape[0]
     m = config.size_sub
     nev = config.nev
@@ -132,8 +132,13 @@ def _lobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
             rr_dtype=rrdt,
         )
 
+    # Runtime iteration cap (traced, <= config.max_iter): chunked
+    # drivers (utils.checkpoint.solve_checkpointed) vary it without
+    # recompiling — the static max_iter only sizes history arrays.
+    limit = config.max_iter if it_cap is None else it_cap
+
     def cond(c: _Carry):
-        return (c.it < config.max_iter) & (c.conv < nev)
+        return (c.it < limit) & (c.conv < nev)
 
     def body(c: _Carry):
         it0 = c.it == 0
@@ -295,6 +300,7 @@ def lobpcg(
     key: Optional[jax.Array] = None,
     config: Optional[SolverConfig] = None,
     donate: bool = False,
+    it_cap=None,
 ) -> LOBPCGResult:
     """Solve A x = lambda B x for the nev smallest eigenpairs.
 
@@ -306,6 +312,10 @@ def lobpcg(
     donate=True donates the X0/P0 buffers to the solve (they are
     invalidated) — frees 2 n*size_sub scalars of HBM at capacity-bound
     problem sizes.
+
+    it_cap: optional *runtime* iteration cap (an i32 scalar <=
+    config.max_iter).  Unlike max_iter it is traced, so chunked drivers
+    can vary it per call without triggering a recompile.
     """
     if config is None:
         if nev is None:
@@ -329,5 +339,5 @@ def lobpcg(
         )
     P0, p0_cnt = _prepare_p0(P0, A, config)
     fn = _lobpcg_jit_donate if donate else _lobpcg_jit
-    r = fn(A, B, T, X0, key, config, P0, p0_cnt)
+    r = fn(A, B, T, X0, key, config, P0, p0_cnt, it_cap)
     return r._replace(eigenvectors=r.basis[:, : config.nev])

@@ -105,11 +105,23 @@ def solve_checkpointed(
     if key is None:
         key = jax.random.PRNGKey(0)
 
+    # ONE static config for every chunk (max_iter=every sizes the
+    # history arrays); the varying chunk length is the *runtime* it_cap,
+    # so all chunks — including a short tail — share a single compile
+    # (the per-chunk-shape recompile cost minutes per distinct chunk
+    # size on TPU).
+    cfg = dataclasses.replace(config, max_iter=every)
+    if P is None:
+        # Explicit zero momentum: keeps the jitted signature identical
+        # between the first chunk (no saved P) and later chunks (saved
+        # P array), so they share one compile.  A zero P0 compacts to
+        # p0_cnt=0 — semantically identical to P0=None.
+        P = jnp.zeros((A.shape[0], config.size_sub), A.dtype)
     result = None
     while total_it < config.max_iter:
         chunk = min(every, config.max_iter - total_it)
-        cfg = dataclasses.replace(config, max_iter=chunk)
-        result = solve_fn(A, X, B, T, config=cfg, key=key, P0=P)
+        result = solve_fn(A, X, B, T, config=cfg, key=key, P0=P,
+                          it_cap=chunk)
         total_it += int(result.iterations)
         X = result.basis
         P = result.momentum
@@ -126,6 +138,6 @@ def solve_checkpointed(
         if int(result.iterations) == 0:
             break
     if result is None:  # already past max_iter when resumed
-        cfg = dataclasses.replace(config, max_iter=1)
-        result = solve_fn(A, X, B, T, config=cfg, key=key, P0=P)
+        result = solve_fn(A, X, B, T, config=cfg, key=key, P0=P,
+                          it_cap=1)
     return result._replace(iterations=jnp.int32(total_it))

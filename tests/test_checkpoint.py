@@ -102,6 +102,24 @@ def test_solve_checkpointed_ilobpcg(tmp_path):
     assert np.all(rel < 1e-2)
 
 
+def test_solve_checkpointed_single_compile(tmp_path):
+    """Chunked solving must not recompile per chunk size: the tail chunk
+    (max_iter % every != 0) goes through the runtime it_cap, so the
+    whole run adds exactly ONE trace to the jit cache (on TPU each
+    chunk-shape recompile costs minutes)."""
+    from lobpcg_tpu.solvers.lobpcg import _lobpcg_jit
+
+    n, nev, ss = 100, 3, 6
+    A = laplacian_op(n, jnp.float64)
+    X0 = rand_block(5, n, ss, jnp.float64)
+    # max_iter=25, every=10 -> chunks of 10, 10, 5 (distinct tail).
+    cfg = SolverConfig(nev=nev, size_sub=ss, tol=1e-12, max_iter=25)
+    before = _lobpcg_jit._cache_size()
+    solve_checkpointed(lobpcg, A, X0, config=cfg,
+                       path=tmp_path / "c.npz", every=10)
+    assert _lobpcg_jit._cache_size() - before == 1
+
+
 def test_momentum_resume_fewer_iterations():
     """Resuming with the saved P block converges in no more total
     iterations than the uninterrupted run (X-only restarts pay re-ramp

@@ -42,7 +42,8 @@ def test_z_ilobpcg_block_laplacian():
 
 def test_d_ilobpcg_quality5():
     """test_ilobpcg.c Test 3: ill-conditioned B = antidiag(D,D),
-    D = diag(0.1^i) — forces the quality=5 dual-basis path."""
+    D = diag(0.1^i) — forces the quality=5 dual-basis path, which must
+    also be visible in the quality5_count observability counter."""
     m, nev, ss = 30, 2, 4
     A, B = bdg_ops(m, jnp.float64, r=0.1)
     X0 = bdg_positive_init(99, m, ss, jnp.float64)
@@ -50,6 +51,23 @@ def test_d_ilobpcg_quality5():
     assert int(r.converged) == nev
     for k in range(nev):
         assert float(r.eigenvalues[k]) > 0
+    # The ill-conditioning must actually exercise the dual-basis path.
+    assert int(r.quality5_count) > 0
+    assert int(r.rr_fail_count) == 0
+
+
+def test_quality5_flag_in_history():
+    """The per-iteration flags word records quality=5 iterations."""
+    from lobpcg_tpu import SolverConfig
+
+    m, nev, ss = 30, 2, 4
+    A, B = bdg_ops(m, jnp.float64, r=0.1)
+    X0 = bdg_positive_init(99, m, ss, jnp.float64)
+    cfg = SolverConfig(nev=nev, size_sub=ss, tol=1e-3, max_iter=500,
+                       record_history=True)
+    r = ilobpcg(A, X0, B, config=cfg)
+    flags = np.asarray(r.history.flags)[: int(r.iterations)]
+    assert int(r.quality5_count) == int((flags % 8 == 5).sum())
 
 
 def test_s_ilobpcg_block_laplacian():
@@ -57,6 +75,16 @@ def test_s_ilobpcg_block_laplacian():
     m, nev, ss = 50, 3, 5
     A, B = bdg_ops(m, jnp.float32)
     X0 = bdg_positive_init(42, m, ss, jnp.float32)
+    r = ilobpcg(A, X0, B, nev=nev, size_sub=ss, tol=1e-3, max_iter=500)
+    _check_bdg(r, nev)
+
+
+def test_c_ilobpcg_block_laplacian():
+    """complex64 solver-level run — the reference instantiates and
+    tests all four scalar types (c32 == complex64 here)."""
+    m, nev, ss = 50, 3, 5
+    A, B = bdg_ops(m, jnp.complex64)
+    X0 = bdg_positive_init(42, m, ss, jnp.complex64)
     r = ilobpcg(A, X0, B, nev=nev, size_sub=ss, tol=1e-3, max_iter=500)
     _check_bdg(r, nev)
 

@@ -60,16 +60,26 @@ def test_pencil_cholesky_matches_qz(dtype):
         assert np.abs(r).max() < 1e-7 * max(1.0, abs(float(lam_c[i])))
 
 
-def test_indefinite_rr_diag_b():
+@pytest.mark.parametrize(
+    "dtype,tol",
+    [
+        (jnp.float64, 1e-10),
+        (jnp.complex128, 1e-10),
+        (jnp.float32, 2e-5),
+        (jnp.complex64, 2e-5),
+    ],
+)
+def test_indefinite_rr_diag_b(dtype, tol):
     """B = diag(+-1), A diagonal: analytic eigenvalues a_i / b_i
-    with signature sign(b_i) (`test_indefinite_rr.c` diag cases)."""
+    with signature sign(b_i) — all four scalar types, matching the
+    reference's s/d/c/z instantiation tests
+    (`test_indefinite_rr.c:229-476`)."""
     n = 8
     a = np.array([4.0, 3.0, 2.0, 1.0, 5.0, 6.0, 7.0, 8.0])
     b = np.array([1, 1, 1, 1, -1, -1, -1, -1], dtype=np.float64)
-    A = diag_op(n, jnp.float64)
-    A = dense_op(np.diag(a), jnp.float64)
-    B = dense_op(np.diag(b), jnp.float64)
-    X = jnp.eye(n)  # full space
+    A = dense_op(np.diag(a), dtype)
+    B = dense_op(np.diag(b), dtype)
+    X = jnp.eye(n, dtype=dtype)  # full space
     Cx, lam, sig, ok = indefinite_rayleigh_ritz(
         X, A, B, method="cholesky", tiny=1e-30
     )
@@ -77,13 +87,99 @@ def test_indefinite_rr_diag_b():
     # positive eigenvalues ascending: 1,2,3,4 (sig +1); negative
     # descending: -5,-6,-7,-8 (sig -1)
     np.testing.assert_allclose(
-        np.asarray(lam), [1, 2, 3, 4, -5, -6, -7, -8], atol=1e-10
+        np.asarray(lam), [1, 2, 3, 4, -5, -6, -7, -8], atol=tol
     )
     np.testing.assert_array_equal(np.asarray(sig), [1, 1, 1, 1, -1, -1, -1, -1])
     # B-normalized columns: |v^H B v| = 1
     V = np.asarray(X @ Cx)
-    d = np.diag(V.T @ np.diag(b) @ V)
-    np.testing.assert_allclose(np.abs(d), np.ones(n), atol=1e-10)
+    d = np.diag(V.conj().T @ np.diag(b) @ V).real
+    np.testing.assert_allclose(np.abs(d), np.ones(n), atol=10 * tol)
+
+
+def _pair_swap(n):
+    P = np.zeros((n, n))
+    for i in range(n // 2):
+        P[2 * i, 2 * i + 1] = 1.0
+        P[2 * i + 1, 2 * i] = 1.0
+    if n % 2:
+        P[n - 1, n - 1] = 1.0
+    return P
+
+
+@pytest.mark.parametrize("dtype", [jnp.float64, jnp.complex128])
+def test_indefinite_rr_perm(dtype):
+    """A = diag(1..6), B = adjacent-pair swap permutation: analytic
+    eigenvalues +-sqrt(a_{2i} a_{2i+1}) = +-{sqrt2, sqrt12, sqrt30}
+    with sig [1,1,1,-1,-1,-1] (`test_indefinite_rr.c:701-818`)."""
+    n = 6
+    A = dense_op(np.diag(np.arange(1.0, n + 1)), dtype)
+    Bm = _pair_swap(n)
+    B = dense_op(Bm, dtype)
+    X = jnp.eye(n, dtype=dtype)
+    Cx, lam, sig, ok = indefinite_rayleigh_ritz(
+        X, A, B, method="cholesky", tiny=1e-30
+    )
+    assert bool(ok)
+    e = [np.sqrt(2.0), np.sqrt(12.0), np.sqrt(30.0)]
+    np.testing.assert_allclose(np.asarray(lam), e + [-x for x in e],
+                               atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(sig), [1, 1, 1, -1, -1, -1])
+    # B-sig-orthonormality: X^H B X = diag(sig)
+    V = np.asarray(X @ Cx)
+    G = V.conj().T @ Bm @ V
+    np.testing.assert_allclose(G, np.diag(np.asarray(sig)), atol=1e-10)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float64, jnp.complex128])
+def test_indefinite_rr_dense(dtype):
+    """Dense A (the 6x6 reference fixture), B = diag(+-1): structural
+    checks — Rayleigh diagonality X^H A X = diag(sig_i lam_i),
+    B-sig-orthonormality, and the signature sort order
+    (`test_indefinite_rr.c:948-1081`)."""
+    from tests.fixtures import A6
+
+    n = 6
+    Bd = np.diag([1.0, 1, 1, -1, -1, -1])
+    A = dense_op(A6, dtype)
+    B = dense_op(Bd, dtype)
+    X = jnp.eye(n, dtype=dtype)
+    Cx, lam, sig, ok = indefinite_rayleigh_ritz(
+        X, A, B, method="cholesky", tiny=1e-30
+    )
+    assert bool(ok)
+    lam = np.asarray(lam)
+    sig = np.asarray(sig)
+    V = np.asarray(X @ Cx)
+    # Rayleigh diagonality: V^H A V = diag(sig * lam)
+    np.testing.assert_allclose(
+        V.conj().T @ A6 @ V, np.diag(sig * lam), atol=1e-8
+    )
+    # B-sig-orthonormality
+    np.testing.assert_allclose(
+        V.conj().T @ Bd @ V, np.diag(sig.astype(float)), atol=1e-8
+    )
+    # Sort: positives ascending then negatives descending
+    n_pos = int((sig == 1).sum())
+    assert np.all(np.diff(lam[:n_pos]) >= 0)
+    assert np.all(np.diff(lam[n_pos:]) <= 0)
+
+
+def test_indefinite_rr_modified_mult3_diag():
+    """mult=3 identity-S case: A = diag(1..9), B = diag(1x5, -1x4),
+    S = I_9 -> eigenvalues {1, 2, 3} (`test_indefinite_rr.c:553-619`
+    d_indef_rr_modified_diag_mult3)."""
+    n, m = 9, 3
+    A = dense_op(np.diag(np.arange(1.0, n + 1)), jnp.float64)
+    B = dense_op(np.diag([1.0] * 5 + [-1.0] * 4), jnp.float64)
+    S = jnp.eye(n)
+    AX = jnp.asarray(np.diag(np.arange(1.0, n + 1))) @ S[:, :m]
+    rr = indefinite_rayleigh_ritz_modified(
+        S, AX, jnp.int32(m), jnp.int32(n - 2 * m), A, B,
+        nx=m, method="cholesky", tiny=1e-30, quality_tol=1e-12,
+        eps_ortho=1e-12, eps_drop=1e-12,
+    )
+    np.testing.assert_allclose(np.asarray(rr.lam), [1.0, 2.0, 3.0],
+                               atol=1e-10)
 
 
 @pytest.mark.parametrize("method", ["cholesky", "qz", "auto"])

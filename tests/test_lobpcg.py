@@ -51,6 +51,18 @@ def test_z_lobpcg_4x4():
     assert _ortho_error(r.eigenvectors) < 1e-8
 
 
+def test_c_lobpcg_4x4():
+    """complex64 solver-level run (the reference's c32 instantiation)."""
+    A = dense_op(A4, jnp.complex64)
+    r = lobpcg(A, nev=1, size_sub=1, tol=1e-4, max_iter=200,
+               key=jax.random.PRNGKey(2))
+    assert int(r.converged) == 1
+    np.testing.assert_allclose(
+        float(r.eigenvalues[0]), EIGVALS_4[0], rtol=1e-3
+    )
+    assert _ortho_error(r.eigenvectors) < 1e-4
+
+
 def test_d_lobpcg_6x6():
     """test_lobpcg.c Test 3: n=6, nev=1, sizeSub=2."""
     A = dense_op(A6, jnp.float64)

@@ -112,6 +112,128 @@ def test_ortho_indefinite_none_b():
     assert _fro(gram_cross(V, Uo)) < 1e-10
 
 
+def _indef_diag_b(n, n_pos, dtype):
+    """B = diag(1...1, -1...-1) with n_pos positive entries
+    (`tests/test_ortho_indefinite.c:58-78` create_indef_B)."""
+    d = jnp.concatenate([jnp.ones(n_pos), -jnp.ones(n - n_pos)])
+    return DiagonalOperator(d.astype(dtype))
+
+
+def _pair_swap_b(n, dtype):
+    """B swapping adjacent pairs: y[2i] = x[2i+1], y[2i+1] = x[2i]
+    (`tests/test_ortho_indefinite.c:198-216` perm_blk)."""
+    P = np.zeros((n, n))
+    for i in range(n // 2):
+        P[2 * i, 2 * i + 1] = 1.0
+        P[2 * i + 1, 2 * i] = 1.0
+    if n % 2:
+        P[n - 1, n - 1] = 1.0
+    return dense_op(P, dtype)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float64, jnp.complex128])
+def test_ortho_indefinite_explicit_sig(dtype):
+    """Basic case with the signature matrix passed by the caller
+    (`tests/test_ortho_indefinite.c:275-333`): m=100, n_v=5, n_u=8,
+    60 positive B entries."""
+    n, ku, kv, n_pos = 100, 8, 5, 60
+    B = _indef_diag_b(n, n_pos, dtype)
+    V = rand_block(41, n, kv, dtype)
+    V, _ = svqb(V, kv, B, tau=1e-14, drop=False)
+    sig = gram_self(V, B)
+    U = rand_block(42, n, ku, dtype)
+    Uo, kept = ortho_indefinite(
+        U, ku, V, kv, B, sig, eps_ortho=1e-12, eps_drop=1e-14
+    )
+    assert int(kept) == ku
+    assert float(ortho_err(gram_self(Uo, B), kept)) < 1e-8
+    assert _fro(gram_cross(V, Uo, B)) < 1e-8
+
+
+@pytest.mark.parametrize("dtype", [jnp.float64, jnp.complex128])
+@pytest.mark.parametrize("pass_sig", [False, True])
+def test_ortho_indefinite_perm(dtype, pass_sig):
+    """Pair-swap permutation B (indefinite, non-diagonal)
+    (`tests/test_ortho_indefinite.c:465-615` perm cases, with and
+    without caller-passed sig)."""
+    n, ku, kv = 60, 4, 3
+    B = _pair_swap_b(n, dtype)
+    V = rand_block(43, n, kv, dtype)
+    V, _ = svqb(V, kv, B, tau=1e-14, drop=False)
+    sig = gram_self(V, B) if pass_sig else None
+    U = rand_block(44, n, ku, dtype)
+    Uo, kept = ortho_indefinite(
+        U, ku, V, kv, B, sig, eps_ortho=1e-12, eps_drop=1e-14
+    )
+    assert int(kept) == ku
+    assert float(ortho_err(gram_self(Uo, B), kept)) < 1e-8
+    assert _fro(gram_cross(V, Uo, B)) < 1e-8
+
+
+def test_ortho_indefinite_drop_duplicate():
+    """Duplicated U column under indefinite B drops to n_u - 1
+    (`tests/test_ortho_indefinite.c:691-727`)."""
+    n, ku, kv, n_pos = 100, 5, 3, 60
+    B = _indef_diag_b(n, n_pos, jnp.float64)
+    V = rand_block(45, n, kv, jnp.float64)
+    V, _ = svqb(V, kv, B, tau=1e-14, drop=False)
+    U = np.asarray(rand_block(46, n, ku, jnp.float64)).copy()
+    U[:, 4] = U[:, 0]
+    Uo, kept = ortho_indefinite(
+        jnp.asarray(U), ku, V, kv, B, eps_ortho=1e-12, eps_drop=1e-12
+    )
+    assert int(kept) == ku - 1
+    assert float(ortho_err(gram_self(Uo, B), kept)) < 1e-8
+    assert _fro(gram_cross(V, Uo, B)) < 1e-8
+
+
+def test_ortho_indefinite_drop_zero():
+    """Zero U column under indefinite B drops to n_u - 1
+    (`tests/test_ortho_indefinite.c:729-765`)."""
+    n, ku, kv, n_pos = 100, 5, 3, 60
+    B = _indef_diag_b(n, n_pos, jnp.float64)
+    V = rand_block(47, n, kv, jnp.float64)
+    V, _ = svqb(V, kv, B, tau=1e-14, drop=False)
+    U = np.asarray(rand_block(48, n, ku, jnp.float64)).copy()
+    U[:, 2] = 0.0
+    Uo, kept = ortho_indefinite(
+        jnp.asarray(U), ku, V, kv, B, eps_ortho=1e-12, eps_drop=1e-12
+    )
+    assert int(kept) == ku - 1
+    assert _fro(gram_cross(V, Uo, B)) < 1e-8
+
+
+def test_ortho_indefinite_drop_independent_keeps_all():
+    """Independent columns: nothing dropped
+    (`tests/test_ortho_indefinite.c:767-805`)."""
+    n, ku, kv, n_pos = 100, 5, 3, 60
+    B = _indef_diag_b(n, n_pos, jnp.float64)
+    V = rand_block(49, n, kv, jnp.float64)
+    V, _ = svqb(V, kv, B, tau=1e-14, drop=False)
+    U = rand_block(50, n, ku, jnp.float64)
+    Uo, kept = ortho_indefinite(
+        U, ku, V, kv, B, eps_ortho=1e-12, eps_drop=1e-12
+    )
+    assert int(kept) == ku
+    assert float(ortho_err(gram_self(Uo, B), kept)) < 1e-8
+    assert _fro(gram_cross(V, Uo, B)) < 1e-8
+
+
+def test_ortho_indefinite_none_b_complex():
+    """complex128 B=None degenerates to standard orthogonalization
+    (`tests/test_ortho_indefinite.c:650-683` z_ortho_indefinite_no_B)."""
+    n, ku, kv = 80, 6, 4
+    V = rand_block(51, n, kv, jnp.complex128)
+    V, _ = svqb(V, kv, None, tau=1e-14, drop=False)
+    U = rand_block(52, n, ku, jnp.complex128)
+    Uo, kept = ortho_indefinite(
+        U, ku, V, kv, None, eps_ortho=1e-12, eps_drop=1e-14
+    )
+    assert int(kept) == ku
+    assert float(ortho_err(gram_self(Uo), kept)) < 1e-10
+    assert _fro(gram_cross(V, Uo)) < 1e-10
+
+
 def test_ortho_indefinite_mat_coefficient_space():
     # Coefficient-space variant with an indefinite dense metric.
     k, nu, nv = 12, 2, 2
