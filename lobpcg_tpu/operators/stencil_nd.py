@@ -89,6 +89,18 @@ class LaplacianND(LinearOperator):
     def matmat(self, X):
         k = X.shape[1]
         n = int(np.prod(self.grid))
+        if not self.force_jnp and len(self.grid) == 3:
+            # Fused single-pass 7-point kernel: X streamed once (ring of
+            # i-planes in VMEM) instead of three separable passes.
+            from lobpcg_tpu.ops.pallas.stencil3d import (
+                stencil3d_matmat_pallas,
+                stencil3d_supported,
+            )
+
+            if stencil3d_supported(X, self.grid):
+                return stencil3d_matmat_pallas(
+                    X, self.scale, grid_shape=tuple(self.grid)
+                )
         Y = None
         for ax in range(len(self.grid)):
             p = _axis_pass(X, self.grid, ax, k, force_jnp=self.force_jnp)

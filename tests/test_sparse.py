@@ -140,3 +140,38 @@ def test_bsr_pallas_interpret_matches_reference():
     np.testing.assert_allclose(
         np.asarray(Y_pal), np.asarray(Y_ref), rtol=1e-5, atol=1e-4
     )
+
+
+def test_strip_ell_interpret_matches_reference():
+    """Strip-ELL conversion + kernel (interpret) == gather/einsum
+    reference, over block sizes and a non-multiple-of-128 n."""
+    from lobpcg_tpu.ops.pallas.bsr import (
+        bsr_matmat_reference,
+        bsr_strip_matmat_pallas,
+        ell_to_strip_ell,
+    )
+
+    rng = np.random.RandomState(3)
+    for (n, bs) in [(256, 8), (256, 16), (200, 8)]:
+        M = _rand_sparse(n, 0.08, 4)
+        op = BSROperator.from_dense(
+            M.toarray(), block_size=bs, dtype=jnp.float32
+        )
+        X = jnp.asarray(rng.randn(n, 128), jnp.float32)
+        Y_ref = bsr_matmat_reference(op.block_cols, op.blocks, X)
+        sc, sv = ell_to_strip_ell(op.block_cols, op.blocks)
+        Y = bsr_strip_matmat_pallas(
+            jnp.asarray(sc), jnp.asarray(sv), X, bs=bs, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(Y), np.asarray(Y_ref), rtol=1e-5, atol=1e-4
+        )
+
+
+def test_bsr_operator_carries_strip_format():
+    """Constructors build the strip-ELL fast-path arrays."""
+    M = _rand_sparse(128, 0.1, 9)
+    op = BSROperator.from_dense(M.toarray(), block_size=8,
+                                dtype=jnp.float32)
+    assert op.strip_cols is not None and op.strip_vals is not None
+    assert op.strip_vals.shape[1] == 128

@@ -81,3 +81,23 @@ def test_sharded_rewrite_forces_jnp():
     mesh = row_mesh(4)
     As, _, _, _ = shard_problem(mesh, A)
     assert As.force_jnp
+
+
+def test_fused_3d_kernel_interpret_matches_separable():
+    """Fused single-pass 7-point kernel (interpret mode) == the
+    separable jnp formulation, including all Dirichlet faces."""
+    from lobpcg_tpu.ops.pallas.stencil3d import stencil3d_matmat_pallas
+
+    for (g, k, By) in [((6, 16, 4), 32, 16), ((5, 32, 2), 64, 16),
+                       ((3, 16, 1), 128, 8)]:
+        n = g[0] * g[1] * g[2]
+        X = rand_block(9, n, k, jnp.float32)
+        Y = stencil3d_matmat_pallas(
+            X, jnp.float32(1.3), grid_shape=g, By=By, interpret=True
+        )
+        ref = LaplacianND(
+            scale=jnp.float32(1.3), grid=g, force_jnp=True
+        ).matmat(X)
+        np.testing.assert_allclose(
+            np.asarray(Y), np.asarray(ref), atol=1e-4
+        )
