@@ -61,6 +61,9 @@ def main() -> None:
     ap.add_argument("--bs", type=int, default=8)
     ap.add_argument("--band", type=int, default=24)
     ap.add_argument("--k", type=int, default=128)
+    ap.add_argument("--strip", type=int, default=128,
+                    help="rows per strip for the strip formats (larger "
+                         "strips amortize per-grid-step overhead)")
     args = ap.parse_args()
 
     import jax
@@ -72,25 +75,34 @@ def main() -> None:
         bsr_strip_matmat_pallas,
         bsr_strip_supported,
         bsr_supported,
+        bsr_window_matmat_pallas,
+        bsr_window_supported,
         ell_to_strip_ell,
+        ell_to_strip_window,
     )
 
     n, bs, k = args.n, args.bs, args.k
     cols_np, vals_np, nnz = banded_bsr(n, bs, args.band)
     t0 = time.perf_counter()
-    sc_np, sv_np = ell_to_strip_ell(cols_np, vals_np)
+    sc_np, sv_np = ell_to_strip_ell(cols_np, vals_np, strip=args.strip)
+    lo_np, wv_np = ell_to_strip_window(cols_np, vals_np,
+                                       strip=args.strip)
     t_convert = time.perf_counter() - t0
 
     cols = jnp.asarray(cols_np)
     vals = jnp.asarray(vals_np)
     sc = jnp.asarray(sc_np)
     sv = jnp.asarray(sv_np)
+    lo = jnp.asarray(lo_np)
+    wv = jnp.asarray(wv_np)
     X = jax.random.uniform(jax.random.PRNGKey(0), (n, k), jnp.float32,
                            -0.5, 0.5)
 
     ns, Rs = sc_np.shape
-    # Bandwidth accounting: matrix bytes as stored + union X gather + Y.
+    W = wv_np.shape[2]
+    # Bandwidth accounting: matrix bytes as stored + X gather + Y.
     bytes_strip = 4 * (sv_np.size + ns * Rs * bs * k + n * k)
+    bytes_win = 4 * (wv_np.size + ns * W * k + n * k)
     bytes_ell = 4 * (vals_np.size + cols_np.size // 4
                      + vals_np.shape[0] * vals_np.shape[1] * bs * k
                      + n * k)
@@ -120,10 +132,13 @@ def main() -> None:
             "ms": round(dt * 1e3, 3),
             "effective_gbs": round(nbytes / dt / 1e9, 1),
             "n": n, "bs": bs, "band": args.band, "k": k,
-            "nnz": nnz, "Rs": int(Rs),
+            "nnz": nnz, "Rs": int(Rs), "strip": args.strip,
             "convert_s": round(t_convert, 2),
         }), flush=True)
 
+    if bsr_window_supported(wv, X, bs):
+        f = lambda X: bsr_window_matmat_pallas(lo, wv, X, bs=bs)
+        report("strip_window", timed(f, 10), bytes_win)
     if bsr_strip_supported(sv, X, bs):
         f = lambda X: bsr_strip_matmat_pallas(sc, sv, X, bs=bs)
         report("strip_ell", timed(f, 10), bytes_strip)

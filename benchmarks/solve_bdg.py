@@ -79,6 +79,10 @@ def main() -> None:
     ap.add_argument("--no-ax-cache", action="store_true",
                     help="recompute A@X instead of carrying the cache "
                          "(lower peak HBM, one extra SpMM per iteration)")
+    ap.add_argument("--no-dual-basis", action="store_true",
+                    help="compile out the quality=5 dual-basis branch "
+                         "(saves an [n, ss] block of peak HBM; sound "
+                         "for the well-conditioned B = antidiag(I, I))")
     ap.add_argument("--donate", action="store_true",
                     help="donate X0 to the solve (frees 2 n*ss scalars "
                          "of HBM; X0 is rebuilt per repetition)")
@@ -141,7 +145,8 @@ def main() -> None:
 
     cfg = SolverConfig(nev=nev, size_sub=ss, tol=args.tol,
                        max_iter=args.max_iter,
-                       use_ax_cache=not args.no_ax_cache)
+                       use_ax_cache=not args.no_ax_cache,
+                       dual_basis=not args.no_dual_basis)
 
     if args.realify:
         import jax as _jax

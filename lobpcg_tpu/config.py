@@ -107,6 +107,17 @@ class SolverConfig:
     # Cache AX between iterations (the reference's AX field).
     use_ax_cache: bool = True
 
+    # ilobpcg only: compile the quality=5 dual-basis projection path
+    # (`ilobpcg_impl.inc:228-256`).  Both lax.cond branches contribute
+    # to the loop's peak HBM, and the dual-basis branch holds an extra
+    # [n, size_sub] accurate-basis block (~2 GB at dim 4M x 128) —
+    # disable for well-conditioned pencils (e.g. BdG with B =
+    # antidiag(I, I), where quality never degrades) to reclaim that
+    # headroom at capacity-bound sizes.  When False, a quality=5
+    # iteration projects with the accurate basis (still counted in
+    # quality5_count/history).
+    dual_basis: bool = True
+
     # Mixed precision (BASELINE.json config "mixed float/double"): when
     # set (e.g. "float64"), the k x k Gram matrices are *accumulated* in
     # this precision (preferred_element_type on the contraction — the

@@ -172,11 +172,11 @@ class Laplacian1D(LinearOperator):
     (`tests/test_ilobpcg.c:28-52`, segments=2).
 
     On TPU f32/bf16 this dispatches to the Pallas streaming stencil
-    kernel (ops/pallas/stencil.py) for any block width k >= 8 (full rate
-    at k % 128 == 0 — the HBM layout pads lanes to 128, so pick size_sub
-    in multiples of 128); otherwise a pad/slice jnp formulation that XLA
-    fuses (and, under row-sharding, turns into local stencils + halo
-    collective-permutes).
+    kernel (ops/pallas/stencil.py) for 128-multiple block widths (a
+    sub-128-lane pallas operand costs a 2x-padded layout copy, so pick
+    size_sub in multiples of 128); otherwise a pad/slice jnp formulation
+    that XLA fuses (and, under row-sharding, turns into local stencils +
+    halo collective-permutes).
     """
 
     scale: jax.Array  # scalar 1/h^2

@@ -35,41 +35,42 @@ def _bsr_to_ell(bip: np.ndarray, bix: np.ndarray, bv: np.ndarray):
 
 
 @operator(
-    data_fields=("block_cols", "blocks", "strip_cols", "strip_vals"),
+    data_fields=("block_cols", "blocks", "win_lo", "win_vals"),
     meta_fields=("n",),
 )
 class BSROperator(LinearOperator):
-    """Block-ELL sparse operator with a strip-ELL fast path.
+    """Block-ELL sparse operator with a strip-window fast path.
 
     block_cols: [nb, R] int32 block-column indices (padding -> 0)
     blocks:     [nb, R, bs, bs] dense blocks (padding -> zeros)
-    strip_cols/strip_vals: optional strip-ELL re-expansion (built by the
-    constructors; see ops/pallas/bsr.ell_to_strip_ell) — the TPU SpMM
-    path that fills the MXU with one [128, Rs*bs] x [Rs*bs, k]
-    contraction per 128-row strip.
+    win_lo/win_vals: optional strip-window re-expansion (built by the
+    constructors for windowable — banded / RCM-reordered — matrices;
+    see ops/pallas/bsr.ell_to_strip_window): per 128-row strip one
+    contiguous block-column window, applied as a single gather DMA +
+    one [128, W] x [W, k] MXU contraction on TPU.
     """
 
     block_cols: jax.Array
     blocks: jax.Array
-    strip_cols: jax.Array = None
-    strip_vals: jax.Array = None
+    win_lo: jax.Array = None
+    win_vals: jax.Array = None
     n: int = 0
 
     def matmat(self, X):
         from lobpcg_tpu.ops.pallas.bsr import (
             bsr_matmat_pallas,
             bsr_matmat_reference,
-            bsr_strip_matmat_pallas,
-            bsr_strip_supported,
             bsr_supported,
+            bsr_window_matmat_pallas,
+            bsr_window_supported,
         )
 
         bs = self.blocks.shape[2]
-        if self.strip_vals is not None and bsr_strip_supported(
-            self.strip_vals, X, bs
+        if self.win_vals is not None and bsr_window_supported(
+            self.win_vals, X, bs
         ):
-            return bsr_strip_matmat_pallas(
-                self.strip_cols, self.strip_vals, X, bs=bs
+            return bsr_window_matmat_pallas(
+                self.win_lo, self.win_vals, X, bs=bs
             )
         if bsr_supported(self.blocks, X):
             return bsr_matmat_pallas(self.block_cols, self.blocks, X)
@@ -98,14 +99,26 @@ class BSROperator(LinearOperator):
             np.asarray(vals, np.float64),
         )
         cols, blocks = _bsr_to_ell(bip, bix, bv)
-        from lobpcg_tpu.ops.pallas.bsr import ell_to_strip_ell
+        from lobpcg_tpu.ops.pallas.bsr import (
+            ell_to_strip_window,
+            bsr_window_widths,
+        )
 
-        sc, sv = ell_to_strip_ell(cols, blocks.astype(dtype))
+        # Build the strip-window fast path when the matrix is windowable:
+        # padding every strip to the max column span must not blow up
+        # storage (cap the window chunks at ~4x the ELL bytes).
+        win_lo = win_vals = None
+        Wb = bsr_window_widths(cols, blocks)
+        nb, R = cols.shape
+        if Wb * block_size <= 4096 and Wb <= 4 * R + 16:
+            lo, wv = ell_to_strip_window(cols, blocks.astype(dtype))
+            win_lo = jnp.asarray(lo)
+            win_vals = jnp.asarray(wv, dtype)
         return cls(
             block_cols=jnp.asarray(cols),
             blocks=jnp.asarray(blocks, dtype),
-            strip_cols=jnp.asarray(sc),
-            strip_vals=jnp.asarray(sv, dtype),
+            win_lo=win_lo,
+            win_vals=win_vals,
             n=n,
         )
 

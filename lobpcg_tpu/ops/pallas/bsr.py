@@ -250,6 +250,180 @@ def bsr_strip_supported(strip_vals: jax.Array, X: jax.Array,
     return jax.default_backend() == "tpu"
 
 
+def ell_to_strip_window(block_cols, blocks, *, strip: int = STRIP):
+    """Host-side conversion: block-ELL -> strip-window (banded fast path).
+
+    Each 128-row strip stores ONE contiguous block-column window
+    [lo, lo + Wb) covering every column its rows touch, and a dense
+    [strip, Wb*bs] chunk re-expanded against that window.  The kernel
+    then gathers the window's X rows with a single contiguous DMA and
+    issues one [strip, Wb*bs] x [Wb*bs, k] MXU contraction — one grid
+    step and 3 DMAs per strip, vs Rs steps and Rs gathers for strip-ELL
+    (measured 8x faster at banded 1M/bs=8: grid-step and DMA-issue
+    overheads dominate small-block gathers).
+
+    Returns (lo [ns] i32, win_vals [ns, strip, Wb*bs]).  Only sensible
+    for matrices whose per-strip column span is bounded (bands, RCM-
+    reordered); `Wb` is the max span, and scattered matrices explode it
+    — gate with `bsr_window_widths` before converting.
+    """
+    import numpy as np
+
+    cols = np.asarray(block_cols)
+    vals = np.asarray(blocks)
+    nb, R, bs, _ = vals.shape
+    if strip % bs:
+        raise ValueError(f"block size {bs} must divide strip {strip}")
+    SB = strip // bs
+    ns = -(-nb // SB)
+    nbp = ns * SB
+
+    nz = vals.reshape(nb, R, -1).any(axis=2) | (cols != 0)
+    if nbp > nb:
+        pad = nbp - nb
+        cols = np.concatenate([cols, np.zeros((pad, R), cols.dtype)])
+        vals = np.concatenate(
+            [vals, np.zeros((pad, R, bs, bs), vals.dtype)]
+        )
+        nz = np.concatenate([nz, np.zeros((pad, R), bool)])
+
+    c2 = cols.astype(np.int64).reshape(ns, SB * R)
+    nz2 = nz.reshape(ns, SB * R)
+    cmin = np.where(nz2, c2, np.iinfo(np.int64).max).min(axis=1)
+    cmax = np.where(nz2, c2, np.int64(-1)).max(axis=1)
+    empty = ~nz2.any(axis=1)
+    cmin[empty] = 0
+    cmax[empty] = 0
+    Wb = max(1, int((cmax - cmin).max()) + 1)
+    # Pad the window width to a 128-lane multiple: a sub-128-multiple
+    # minor dim strides partial lane tiles in both the vals stream and
+    # the X gather DMA (measured: W=176 capped the kernel at ~2.4x its
+    # aligned rate regardless of precision or gather).
+    Wb = -(-(Wb * bs) // 128) * 128 // bs
+    Wb = min(Wb, nb)  # tiny matrices: window = whole matrix
+    lo = np.clip(cmin, 0, max(0, nb - Wb)).astype(np.int32)
+
+    win = np.zeros((ns, SB, bs, Wb, bs), vals.dtype)
+    s_idx, m_idx = np.nonzero(nz2)
+    g_idx = m_idx // R
+    r_idx = m_idx % R
+    w_idx = c2[s_idx, m_idx] - lo[s_idx]
+    np.add.at(
+        win,
+        (s_idx[:, None, None], g_idx[:, None, None],
+         np.arange(bs)[None, :, None], w_idx[:, None, None],
+         np.arange(bs)[None, None, :]),
+        vals.reshape(nbp, R, bs, bs)[s_idx * SB + g_idx, r_idx],
+    )
+    return lo, win.reshape(ns, strip, Wb * bs)
+
+
+def bsr_window_widths(block_cols, blocks, *, strip: int = STRIP):
+    """Max per-strip block-column span (the Wb the window format would
+    pad to) — cheap windowability check before converting."""
+    import numpy as np
+
+    cols = np.asarray(block_cols)
+    vals = np.asarray(blocks)
+    nb, R, bs, _ = vals.shape
+    SB = strip // bs
+    ns = -(-nb // SB)
+    nz = vals.reshape(nb, R, -1).any(axis=2) | (cols != 0)
+    pad = ns * SB - nb
+    if pad:
+        cols = np.concatenate([cols, np.zeros((pad, R), cols.dtype)])
+        nz = np.concatenate([nz, np.zeros((pad, R), bool)])
+    c2 = cols.astype(np.int64).reshape(ns, SB * R)
+    nz2 = nz.reshape(ns, SB * R)
+    cmin = np.where(nz2, c2, np.iinfo(np.int64).max).min(axis=1)
+    cmax = np.where(nz2, c2, np.int64(-1)).max(axis=1)
+    ok = nz2.any(axis=1)
+    spans = np.where(ok, cmax - cmin + 1, 1)
+    return int(spans.max(initial=1))
+
+
+@functools.partial(jax.jit, static_argnames=("bs", "interpret"))
+def bsr_window_matmat_pallas(
+    lo: jax.Array,  # [ns] i32 window starts (block units)
+    win_vals: jax.Array,  # [ns, strip, W] dense window chunks
+    X: jax.Array,  # [n, k]
+    *,
+    bs: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Strip-window SpMM: per 128-row strip, one contiguous double-
+    buffered DMA of the window's X rows and one MXU contraction."""
+    ns, strip, W = win_vals.shape
+    n, k = X.shape
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ns,),
+        in_specs=[
+            pl.BlockSpec((1, strip, W), lambda s, lo: (s, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((strip, k), lambda s, lo: (s, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, W, k), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    def kernel(lo_ref, vals_ref, x_hbm, o_ref, xg, sems):
+        s = pl.program_id(0)
+        ns_ = pl.num_programs(0)
+
+        def gather(slot, si):
+            start = pl.multiple_of(lo_ref[si] * bs, bs)
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(start, W), :], xg.at[slot], sems.at[slot]
+            )
+
+        @pl.when(s == 0)
+        def _():
+            gather(0, 0).start()
+
+        @pl.when(s + 1 < ns_)
+        def _():
+            gather(jax.lax.rem(s + 1, jnp.int32(2)), s + 1).start()
+
+        gather(jax.lax.rem(s, jnp.int32(2)), s).wait()
+        o_ref[...] = jnp.dot(
+            vals_ref[0],
+            xg[jax.lax.rem(s, jnp.int32(2))].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ns * strip, k), X.dtype),
+        interpret=interpret,
+    )(lo.astype(jnp.int32), win_vals, X)
+    return out[:n]
+
+
+def bsr_window_supported(win_vals: jax.Array, X: jax.Array,
+                         bs: int) -> bool:
+    ns, strip, W = win_vals.shape
+    n, k = X.shape
+    if X.dtype != jnp.float32 or win_vals.dtype != jnp.float32:
+        return False
+    if bs % 8 or strip % bs:
+        return False
+    # The window gather row-slices X: Mosaic requires the minor dim be
+    # lane-aligned (see ops/pallas/stencil.py module docstring).
+    if k % 128:
+        return False
+    # Window rows must stay in range and VMEM must hold the buffers.
+    if W % bs or (W // bs) > n // bs:
+        return False
+    vmem = 4 * (2 * strip * W + 2 * W * k + 2 * strip * k)
+    return vmem <= 12 * (1 << 20) and jax.default_backend() == "tpu"
+
+
 def bsr_matmat_reference(
     block_cols: jax.Array, blocks: jax.Array, X: jax.Array
 ) -> jax.Array:

@@ -115,18 +115,21 @@ def stencil_matmat_pallas(
 def stencil_supported(X: jax.Array, num_segments: int) -> bool:
     """Static check: can the Pallas path handle this input profitably?
 
-    Any block width k >= 8 works (the VMEM tile pads lanes to 128; a
-    k = 64 block streams at ~116 GB/s vs ~72 GB/s for the jnp fallback —
-    see module docstring for why full rate needs k % 128 == 0).  The
-    segment length must be sublane-aligned; the halo side input costs
-    2/T extra reads (T = tile rows), negligible for the large segments
-    of real problems and still a win at the N-D stencil's short inner
-    segments (T = seg there).
+    k % 128 == 0 only: the kernel itself handles any k >= 8 (measured
+    116 GB/s at [4M, 64] vs 72 GB/s for the jnp fallback), but XLA
+    stores sub-128-lane arrays compactly and inserts a 2x-padded
+    layout-conversion COPY of the whole operand before any pallas call
+    that consumes it — measured +1.91 GB resident and a full extra
+    read/write on the dim-4M size_sub=64 solve, a net loss.  Pick
+    size_sub in multiples of 128 (same HBM cost; full kernel rate).
+    The segment length must be sublane-aligned; the halo side input
+    costs 2/T extra reads (T = tile rows), negligible for large
+    segments and still a win at the N-D stencil's short inner segments.
     """
     if X.dtype not in (jnp.float32, jnp.bfloat16):
         return False
     n, k = X.shape
-    if k < 8:
+    if k % 128:
         return False
     if n % num_segments:
         return False

@@ -1,26 +1,26 @@
 """Pallas TPU kernel: fused single-pass 3-D 7-point Laplacian stencil.
 
 The separable per-axis dispatch (operators/stencil_nd.py) applies three
-1-D passes, reading and writing X three times (~58 ms at 160^3 x 128 on
-v5e).  This kernel computes
+1-D passes (~58 ms at 160^3 x 128 on v5e), and a kernel over a
+[nx, ny, nz*k] view pays two physical relayouts, because reshaping the
+solver's [n, k] block to 3-D regroups the (8, 128) tiles (measured: the
+relayouts alone cost more than the whole stencil).  This kernel
+therefore streams the FLAT [n, k] array (n = nx*ny*nz, C-order):
+
+- one contiguous DMA of (By+2)*nz rows per strip — the j-halo row
+  blocks are simply the nz rows before/after the strip in flat order;
+- i neighbours come from a ring of 4 VMEM-resident strips streamed down
+  the (jb, i) loop (each strip is read from HBM once + 2/By halo);
+- j and z neighbours are sublane-shifted slices of the strip buffer
+  (offsets nz +- 1 around the center), exactly like the 1-D kernel;
+- z Dirichlet faces (every nz-th row) are repaired with two masked
+  corrections; global j/i faces with conditional slice patches and
+  scalar face weights.
 
     Y[i,j,l] = scale * (6 X[i,j,l] - X[i+-1,j,l] - X[i,j+-1,l]
                         - X[i,j,l+-1])        (Dirichlet boundaries)
 
-in ONE pass over X viewed as [nx, ny, nz*k]:
-
-- The i (leading-plane) neighbours come from a ring of 4 VMEM-resident
-  [By, nz*k] strips streamed by manual double-buffered DMA down the i
-  axis — each strip is read from HBM exactly once.
-- The j neighbours are sublane rolls within the strip, with the two
-  boundary rows supplied by a thin pre-gathered halo side input
-  (2/By of X in extra reads).
-- The l neighbours are lane rolls by k within each row, with the
-  wrapped segment masked to zero (the first/last z-position of each
-  (i, j) row is a Dirichlet edge).
-
-Traffic: X once + 2/By halo + Y once ~= 2.3x n*k*4 bytes at By=16,
-vs ~6x for the separable form.
+Traffic: X * (By+2)/By + Y once ~= 2.1x n*k*4 bytes at By=16.
 """
 
 from __future__ import annotations
@@ -33,109 +33,194 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(scale_smem, x_hbm, halo_hbm, o_hbm, *, nx: int, By: int,
-            nzk: int, k: int):
-    jb = pl.program_id(0)
-    j0 = pl.multiple_of(jb * By, By)
+def _vmem_bytes(By: int, nz: int, k: int) -> int:
+    # ring of 4 fetched strips + 2 out strips
+    return (4 * (By + 2) + 2 * By) * nz * k * 4
 
-    def scoped(xs, hs, ys, in_sems, h_sems, out_sems):
-        NB = 4  # center-strip ring: compute i needs i-1, i, i+1 resident
 
-        def in_dma(i):
-            s = jax.lax.rem(i, NB)
+def _pick_by(ny: int, nz: int, k: int) -> int:
+    """Largest multiple-of-8 divisor of ny whose buffers fit VMEM."""
+    for b in (32, 24, 16, 8):
+        if ny % b == 0 and _vmem_bytes(b, nz, k) <= 13 * (1 << 20):
+            return b
+    return 0
+
+
+def _kernel(scale_smem, x_hbm, o_hbm, *, nx: int, ny: int, nz: int,
+            k: int, By: int):
+    njb = ny // By
+    Wc = By * nz  # center rows per strip
+    W = (By + 2) * nz  # fetched rows (strip + j-halo row blocks)
+    n = nx * ny * nz
+    T = nx * njb  # total strips, looped as (jb, i) with i fastest
+
+    def scoped(xs, ys, in_sems, out_sems):
+        NB = 4  # ring: compute t needs strips t-1, t, t+1 resident
+
+        # Zero once: face steps read ring slots no DMA has written, and
+        # the first strip's missing left halo stays zero.
+        xs[...] = jnp.zeros_like(xs)
+
+        def coords(t):
+            t = jnp.asarray(t, jnp.int32)
+            i = jax.lax.rem(t, jnp.int32(nx))
+            jb = jax.lax.div(t, jnp.int32(nx))
+            c0 = (i * ny + jb * By) * nz  # first center row, global
+            return i, jb, c0
+
+        def in_dma(t):
+            t = jnp.asarray(t, jnp.int32)
+            s = jax.lax.rem(t, jnp.int32(NB))
+            _, _, c0 = coords(t)
+
+            def mk(src, size, dst):
+                return pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(src, size), :],
+                    xs.at[s, pl.ds(dst, size), :],
+                    in_sems.at[s],
+                )
+
+            first = t == 0
+            last = t == T - 1
+
+            def dma_first():
+                mk(0, W - nz, nz).start()
+
+            def dma_last():
+                mk(pl.multiple_of(c0 - nz, 8), W - nz, 0).start()
+
+            def dma_mid():
+                mk(pl.multiple_of(c0 - nz, 8), W, 0).start()
+
+            class _Chain:
+                def start(self):
+                    jax.lax.cond(
+                        first,
+                        dma_first,
+                        lambda: jax.lax.cond(last, dma_last, dma_mid),
+                    )
+
+                def wait(self):
+                    jax.lax.cond(
+                        first,
+                        lambda: mk(0, W - nz, nz).wait(),
+                        lambda: jax.lax.cond(
+                            last,
+                            lambda: mk(0, W - nz, 0).wait(),
+                            lambda: mk(0, W, 0).wait(),
+                        ),
+                    )
+
+            return _Chain()
+
+        def out_dma(t):
+            t = jnp.asarray(t, jnp.int32)
+            q = jax.lax.rem(t, jnp.int32(2))
+            _, _, c0 = coords(t)
             return pltpu.make_async_copy(
-                x_hbm.at[i, pl.ds(j0, By), :], xs.at[s], in_sems.at[s]
-            )
-
-        def h_dma(i):
-            s = jax.lax.rem(i, NB)
-            return pltpu.make_async_copy(
-                halo_hbm.at[i, jb], hs.at[s], h_sems.at[s]
-            )
-
-        def out_dma(i):
-            s = jax.lax.rem(i, 2)
-            return pltpu.make_async_copy(
-                ys.at[s], o_hbm.at[i, pl.ds(j0, By), :], out_sems.at[s]
+                ys.at[q],
+                o_hbm.at[pl.ds(pl.multiple_of(c0, 8), Wc), :],
+                out_sems.at[q],
             )
 
         in_dma(0).start()
-        h_dma(0).start()
 
-        @pl.when(nx > 1)
+        @pl.when(T > 1)
         def _():
             in_dma(1).start()
-            h_dma(1).start()
 
         in_dma(0).wait()
-        h_dma(0).wait()
 
         c = scale_smem[0]
-        row = jax.lax.broadcasted_iota(jnp.int32, (By, nzk), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (By, nzk), 1)
+        # z-face masks (loop-invariant): every nz-th row is a Dirichlet
+        # edge in l; the shifted slice brought the neighbouring (i,j)
+        # row's far end there, which the correction adds back.
+        row = jax.lax.broadcasted_iota(jnp.int32, (Wc, k), 0)
+        lmod = jax.lax.rem(row, jnp.int32(nz))
+        m_l0 = (lmod == 0).astype(x_hbm.dtype)
+        m_l1 = (lmod == nz - 1).astype(x_hbm.dtype)
 
-        def body(i, _):
-            @pl.when(i + 2 < nx)
+        def body(t, _):
+            t = jnp.asarray(t, jnp.int32)
+
+            @pl.when(t + 2 < T)
             def _():
-                in_dma(i + 2).start()
-                h_dma(i + 2).start()
+                in_dma(t + 2).start()
 
-            @pl.when(i + 1 < nx)
+            @pl.when(t + 1 < T)
             def _():
-                in_dma(i + 1).wait()
-                h_dma(i + 1).wait()
+                in_dma(t + 1).wait()
 
-            s = jax.lax.rem(i, NB)
-            x = xs[s]
-            h = hs[s]
+            i, jb, _ = coords(t)
+            s = jax.lax.rem(t, jnp.int32(NB))
 
-            # i neighbours: resident ring strips, zeroed at the faces
-            # (where, not multiply: the unused face slot holds garbage
-            # and garbage * 0 can be NaN).
-            zeros = jnp.zeros_like(x)
-            up_i = jnp.where(i > 0, xs[jax.lax.rem(i + NB - 1, NB)], zeros)
-            dn_i = jnp.where(i < nx - 1, xs[jax.lax.rem(i + 1, NB)], zeros)
-
-            # j neighbours: sublane rolls + halo-row fixups (halo rows
-            # are pre-zeroed at the global j faces by the gather).
-            prev_j = jnp.where(
-                row == 0, h[0:1, :], pltpu.roll(x, 1, axis=0)
-            )
-            next_j = jnp.where(
-                row == By - 1, h[1:2, :], pltpu.roll(x, By - 1, axis=0)
-            )
-
-            # l neighbours: lane rolls by k, wrapped segment -> Dirichlet.
-            prev_l = jnp.where(lane < k, zeros, pltpu.roll(x, k, axis=1))
-            next_l = jnp.where(
-                lane >= nzk - k, zeros, pltpu.roll(x, nzk - k, axis=1)
-            )
-
-            @pl.when(i >= 2)
+            # Stale data where the last strip's right halo would be.
+            @pl.when(t == T - 1)
             def _():
-                out_dma(i - 2).wait()
+                xs[s, W - nz : W, :] = jnp.zeros((nz, k), x_hbm.dtype)
 
-            ys[jax.lax.rem(i, 2)] = c * (
-                6.0 * x - up_i - dn_i - prev_j - next_j - prev_l - next_l
+            x = xs[s, nz : nz + Wc, :]
+            jprev = xs[s, 0:Wc, :]
+            jnext = xs[s, 2 * nz : 2 * nz + Wc, :]
+            zprev = xs[s, nz - 1 : nz - 1 + Wc, :]
+            znext = xs[s, nz + 1 : nz + 1 + Wc, :]
+
+            # i neighbours: ring strips with scalar face weights
+            # (slots are zero-initialized, so 0.0 * slot is exact).
+            w_up = (i > 0).astype(x.dtype)
+            w_dn = (i < nx - 1).astype(x.dtype)
+            up = xs[jax.lax.rem(t + NB - 1, jnp.int32(NB)), nz : nz + Wc, :]
+            dn = xs[jax.lax.rem(t + 1, jnp.int32(NB)), nz : nz + Wc, :]
+
+            t_val = (
+                6.0 * x
+                - w_up * up
+                - w_dn * dn
+                - jprev
+                - jnext
+                - zprev
+                - znext
+                # z Dirichlet repair: at l = 0 the zprev slice holds the
+                # previous (i,j) row's l = nz-1 entry; add it back.
+                + m_l0 * zprev
+                + m_l1 * znext
             )
-            out_dma(i).start()
+
+            @pl.when(t >= 2)
+            def _():
+                out_dma(t - 2).wait()
+
+            q = jax.lax.rem(t, jnp.int32(2))
+            ys[q] = c * t_val
+
+            # Global j faces: the halo row block belongs to a different
+            # i-plane (or is absent); its contribution must be zero.
+            @pl.when(jb == 0)
+            def _():
+                ys[q, 0:nz, :] += c * xs[s, 0:nz, :]
+
+            @pl.when(jb == njb - 1)
+            def _():
+                ys[q, Wc - nz : Wc, :] += c * xs[
+                    s, W - nz : W, :
+                ]
+
+            out_dma(t).start()
             return ()
 
-        jax.lax.fori_loop(0, nx, body, (), unroll=False)
+        jax.lax.fori_loop(0, T, body, (), unroll=False)
 
-        @pl.when(nx >= 2)
+        @pl.when(T >= 2)
         def _():
-            out_dma(nx - 2).wait()
+            out_dma(T - 2).wait()
 
-        out_dma(nx - 1).wait()
+        out_dma(T - 1).wait()
 
     pl.run_scoped(
         scoped,
-        xs=pltpu.VMEM((4, By, nzk), x_hbm.dtype),
-        hs=pltpu.VMEM((4, 2, nzk), x_hbm.dtype),
-        ys=pltpu.VMEM((2, By, nzk), x_hbm.dtype),
+        xs=pltpu.VMEM((4, W, k), x_hbm.dtype),
+        ys=pltpu.VMEM((2, Wc, k), x_hbm.dtype),
         in_sems=pltpu.SemaphoreType.DMA((4,)),
-        h_sems=pltpu.SemaphoreType.DMA((4,)),
         out_sems=pltpu.SemaphoreType.DMA((2,)),
     )
 
@@ -148,52 +233,39 @@ def stencil3d_matmat_pallas(
     scale: jax.Array,
     *,
     grid_shape: tuple[int, int, int],
-    By: int = 16,
+    By: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """Y = scale * (7-point Dirichlet Laplacian) X on a 3-D grid.
 
-    X: [nx*ny*nz, k] flattened C-order.  Requires ny % By == 0,
-    (nz*k) % 128 == 0, f32/bf16.
+    X: [nx*ny*nz, k] flattened C-order — consumed directly, no 3-D
+    reshape (which would physically relayout the block).  Requires
+    ny % By == 0, nz % 8 == 0, k % 128 == 0, f32/bf16.
     """
     nx, ny, nz = grid_shape
     n, k = X.shape
     assert n == nx * ny * nz
-    nzk = nz * k
-    X3 = X.reshape(nx, ny, nzk)
-    njb = ny // By
-
-    # j-halo side input [nx, njb, 2, nzk]: the row above and below each
-    # strip, zeroed at the global j faces.
-    jbs = jnp.arange(njb)
-    j_up = jnp.clip(jbs * By - 1, 0, ny - 1)
-    j_dn = jnp.clip(jbs * By + By, 0, ny - 1)
-    w_up = (jbs > 0)[None, :, None].astype(X.dtype)
-    w_dn = (jbs < njb - 1)[None, :, None].astype(X.dtype)
-    halo = jnp.stack(
-        [X3[:, j_up] * w_up, X3[:, j_dn] * w_dn], axis=2
-    )
-
+    if By == 0:
+        By = _pick_by(ny, nz, k)
     scale_arr = jnp.asarray([scale], X.dtype)
-    out = pl.pallas_call(
-        functools.partial(_kernel, nx=nx, By=By, nzk=nzk, k=k),
-        grid=(njb,),
+    return pl.pallas_call(
+        functools.partial(
+            _kernel, nx=nx, ny=ny, nz=nz, k=k, By=By
+        ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((nx, ny, nzk), X.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, k), X.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * (1 << 20),
         ),
         interpret=interpret,
-    )(scale_arr, X3, halo)
-    return out.reshape(n, k)
+    )(scale_arr, X)
 
 
-def stencil3d_supported(X: jax.Array, grid_shape, By: int = 16) -> bool:
+def stencil3d_supported(X: jax.Array, grid_shape, By: int = 0) -> bool:
     """Static gate for the fused 3-D path."""
     if len(grid_shape) != 3:
         return False
@@ -203,9 +275,12 @@ def stencil3d_supported(X: jax.Array, grid_shape, By: int = 16) -> bool:
     n, k = X.shape
     if n != nx * ny * nz or nx < 3:
         return False
-    if ny % By or (nz * k) % 128:
+    if By == 0:
+        By = _pick_by(ny, nz, k)
+    if not By or ny % By:
         return False
-    # VMEM: 4 center strips + 2 out strips + 4 thin halos.
-    if (6 * By + 8) * nz * k * 4 > 14 * (1 << 20):
+    if nz % 8 or k % 128:
+        return False
+    if _vmem_bytes(By, nz, k) > 13 * (1 << 20):
         return False
     return jax.default_backend() == "tpu"

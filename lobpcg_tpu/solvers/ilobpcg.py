@@ -163,9 +163,14 @@ def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
             Wres = get_residual(X_acc, None, rr.lam, A, B)
             return Xn, Pn, AXn, Wres
 
-        Xn, Pn, AXn, Wres = jax.lax.cond(
-            rr.quality == 1, project_good, project_poor, None
-        )
+        if config.dual_basis:
+            Xn, Pn, AXn, Wres = jax.lax.cond(
+                rr.quality == 1, project_good, project_poor, None
+            )
+        else:
+            # Dual-basis path compiled out (SolverConfig.dual_basis):
+            # no extra accurate-basis block in the loop's peak HBM.
+            Xn, Pn, AXn, Wres = project_good(None)
 
         res = get_residual_norm(Wres, rr.lam, a_norm, b_norm, nev)
         convn = masking.prefix_count(res <= config.tol)

@@ -116,3 +116,22 @@ def test_ilobpcg_requires_b():
 
     with pytest.raises(ValueError, match="B operator"):
         ilobpcg(laplacian_op(30, jnp.float64), nev=2, size_sub=3)
+
+
+def test_no_dual_basis_matches_on_well_conditioned():
+    """dual_basis=False (quality=5 branch compiled out for peak-HBM
+    headroom) must not change results when quality never degrades."""
+    from lobpcg_tpu import SolverConfig
+
+    m, nev, ss = 50, 3, 5
+    A, B = bdg_ops(m, jnp.float64)
+    X0 = bdg_positive_init(42, m, ss, jnp.float64)
+    r1 = ilobpcg(A, X0, B, nev=nev, size_sub=ss, tol=1e-4, max_iter=500)
+    cfg = SolverConfig(nev=nev, size_sub=ss, tol=1e-4, max_iter=500,
+                       dual_basis=False)
+    r2 = ilobpcg(A, X0, B, config=cfg)
+    assert int(r1.quality5_count) == 0
+    np.testing.assert_allclose(
+        np.asarray(r1.eigenvalues), np.asarray(r2.eigenvalues),
+        rtol=1e-12,
+    )

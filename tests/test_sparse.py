@@ -168,10 +168,38 @@ def test_strip_ell_interpret_matches_reference():
         )
 
 
-def test_bsr_operator_carries_strip_format():
-    """Constructors build the strip-ELL fast-path arrays."""
+def test_bsr_operator_carries_window_format():
+    """Constructors build the strip-window fast-path arrays for
+    windowable (banded-ish) matrices."""
     M = _rand_sparse(128, 0.1, 9)
     op = BSROperator.from_dense(M.toarray(), block_size=8,
                                 dtype=jnp.float32)
-    assert op.strip_cols is not None and op.strip_vals is not None
-    assert op.strip_vals.shape[1] == 128
+    assert op.win_lo is not None and op.win_vals is not None
+    assert op.win_vals.shape[1] == 128
+
+
+def test_strip_window_interpret_matches_reference():
+    """Strip-window conversion + kernel (interpret) == gather/einsum
+    reference, banded and scattered-but-windowable cases."""
+    from lobpcg_tpu.ops.pallas.bsr import (
+        bsr_matmat_reference,
+        bsr_window_matmat_pallas,
+        ell_to_strip_window,
+    )
+
+    rng = np.random.RandomState(5)
+    for (n, bs, band) in [(256, 8, 8), (384, 8, 24), (256, 16, 16),
+                          (200, 8, 16)]:
+        A = np.zeros((n, n))
+        for d in range(-band, band + 1):
+            A += np.diag(rng.randn(n - abs(d)), d)
+        op = BSROperator.from_dense(A, block_size=bs, dtype=jnp.float32)
+        lo, wv = ell_to_strip_window(op.block_cols, op.blocks)
+        X = jnp.asarray(rng.randn(n, 128), jnp.float32)
+        Y = bsr_window_matmat_pallas(
+            jnp.asarray(lo), jnp.asarray(wv), X, bs=bs, interpret=True
+        )
+        Y_ref = bsr_matmat_reference(op.block_cols, op.blocks, X)
+        np.testing.assert_allclose(
+            np.asarray(Y), np.asarray(Y_ref), rtol=1e-5, atol=1e-4
+        )

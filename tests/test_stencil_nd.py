@@ -89,7 +89,8 @@ def test_fused_3d_kernel_interpret_matches_separable():
     from lobpcg_tpu.ops.pallas.stencil3d import stencil3d_matmat_pallas
 
     for (g, k, By) in [((6, 16, 4), 32, 16), ((5, 32, 2), 64, 16),
-                       ((3, 16, 1), 128, 8)]:
+                       ((3, 16, 1), 128, 8), ((4, 16, 8), 128, 8),
+                       ((3, 24, 16), 64, 8)]:
         n = g[0] * g[1] * g[2]
         X = rand_block(9, n, k, jnp.float32)
         Y = stencil3d_matmat_pallas(

@@ -34,12 +34,14 @@ def _stencil_check():
     )
 
     n = 8192
-    # k = 64: sub-128 lane widths must work too (size_sub = 64 solves).
+    # k = 64 runs through the kernel when called directly (the operator
+    # gate requires k % 128 == 0 to avoid XLA's padded-layout copy of
+    # sub-128-lane pallas operands).
     for k in (64, 128, 256):
         X = jax.random.uniform(
             jax.random.PRNGKey(0), (n, k), jnp.float32, -1, 1
         )
-        assert stencil_supported(X, 2)
+        assert stencil_supported(X, 2) == (k % 128 == 0)
         Y = np.asarray(
             stencil_matmat_pallas(X, jnp.float32(1.7), num_segments=2)
         )
