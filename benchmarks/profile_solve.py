@@ -47,7 +47,6 @@ def main() -> None:
 
     from lobpcg_tpu import (
         BlockAntiDiagOperator,
-        BlockDiagOperator,
         DiagonalOperator,
         Laplacian1D,
     )
@@ -61,9 +60,11 @@ def main() -> None:
     lo = (m - WELL) // 2
     V = np.full(m, BARRIER + SHIFT, np.float64)
     V[lo : lo + WELL] = SHIFT
-    K = Laplacian1D(scale=jnp.asarray(1.0, jnp.float32), n=m) + \
-        DiagonalOperator(jnp.asarray(V, jnp.float32))
-    A = BlockDiagOperator(inner=K, copies=2)
+    Vd = jnp.asarray(V, jnp.float32)
+    # Segmented form (see solve_bdg.py): no BlockDiag slice+concat.
+    A = Laplacian1D(scale=jnp.asarray(1.0, jnp.float32), n=n,
+                    segments=2) + DiagonalOperator(
+        jnp.concatenate([Vd, Vd]))
     B = BlockAntiDiagOperator(d=jnp.ones((m,), jnp.float32))
 
     key = jax.random.PRNGKey(0)

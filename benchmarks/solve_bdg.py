@@ -91,6 +91,11 @@ def main() -> None:
                          "reported — the remote TPU relay has ~2.5x "
                          "load-dependent variance, so iterations is the "
                          "stable metric and wall-clock is best-of-N")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="split the solve into warm-restarted launches "
+                         "of this many iterations (one compile; the "
+                         "relay kills device launches running longer "
+                         "than ~1 min, so chunk long solves)")
     args = ap.parse_args()
 
     import jax
@@ -119,8 +124,13 @@ def main() -> None:
     V = np.full(m, BARRIER + SHIFT, np.float64)
     V[lo : lo + WELL] = SHIFT
     Vd = jnp.asarray(V, dtype)
-    K = Laplacian1D(scale=jnp.asarray(1.0, dtype), n=m) + DiagonalOperator(Vd)
-    A = BlockDiagOperator(inner=K, copies=2)
+    # A = diag(K, K) expressed as ONE segmented stencil + diagonal:
+    # BlockDiagOperator's slice+concat costs ~4x the stencil kernel's
+    # A-apply (measured in profile_solve.py); the segmented Laplacian1D
+    # handles the two decoupled blocks natively.
+    Vd2 = jnp.concatenate([Vd, Vd])
+    A = Laplacian1D(scale=jnp.asarray(1.0, dtype), n=n, segments=2) \
+        + DiagonalOperator(Vd2)
     B = BlockAntiDiagOperator(d=jnp.ones((m,), dtype))
     T = None
     if args.cheb:
@@ -189,9 +199,25 @@ def main() -> None:
         X0r = jnp.asarray(x0_np, dtype)
         if args.realify:
             X0r = X0  # realified X0 built above (donate unsupported)
+        donate = args.donate and not args.realify
         t0 = time.perf_counter()
-        r = ilobpcg(A, X0r, B, T, config=cfg, key=jax.random.PRNGKey(0),
-                    donate=args.donate and not args.realify)
+        if args.chunk:
+            import dataclasses
+
+            ccfg = dataclasses.replace(cfg, max_iter=args.chunk)
+            X, P, total = X0r, None, 0
+            while total < cfg.max_iter:
+                r = ilobpcg(A, X, B, T, config=ccfg,
+                            key=jax.random.PRNGKey(0), P0=P,
+                            donate=donate)
+                total += int(r.iterations)
+                X, P = r.basis, r.momentum
+                if int(r.converged) >= nev or int(r.iterations) == 0:
+                    break
+            r = r._replace(iterations=jnp.int32(total))
+        else:
+            r = ilobpcg(A, X0r, B, T, config=cfg,
+                        key=jax.random.PRNGKey(0), donate=donate)
         if args.realify:
             lam, _, _ = derealify(r, nev)
         else:

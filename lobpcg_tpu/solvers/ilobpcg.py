@@ -55,6 +55,7 @@ class _Carry(NamedTuple):
     res: jax.Array  # [nev] real
     conv: jax.Array  # i32
     it: jax.Array  # i32
+    p_cnt: jax.Array  # i32 — valid P columns (0 after an rr-fail reset)
     q5: jax.Array  # i32 — quality=5 dual-basis iterations
     rr_fail: jax.Array  # i32 — failed projected pencil solves
     hist: object  # SolveHistory or None (static per config)
@@ -100,9 +101,10 @@ def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
         jnp.zeros((n, m), dtype) if P0 is None else P0.astype(dtype)
     )
     hist0 = observe.history_init(config, m, lam0.dtype, res.dtype)
+    warm_p = jnp.int32(p0_cnt) if P0 is not None else jnp.int32(0)
     carry0 = _Carry(
         X, P_init, W, AX, lam0, sig0, res, jnp.int32(0), jnp.int32(0),
-        jnp.int32(0), (~rr_ok0).astype(jnp.int32), hist0
+        warm_p, jnp.int32(0), (~rr_ok0).astype(jnp.int32), hist0
     )
 
     # Runtime iteration cap (see solvers.lobpcg): traced, so chunked
@@ -114,8 +116,7 @@ def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
 
     def body(c: _Carry):
         it0 = c.it == 0
-        warm_p = jnp.int32(p0_cnt) if P0 is not None else jnp.int32(0)
-        np_act = jnp.where(it0, warm_p, m - c.conv)
+        np_act = jnp.minimum(c.p_cnt, m - c.conv)
         nw = jnp.where(it0, jnp.int32(m), m - c.conv)
         W = c.W
 
@@ -163,29 +164,49 @@ def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
             Wres = get_residual(X_acc, None, rr.lam, A, B)
             return Xn, Pn, AXn, Wres
 
-        if config.dual_basis:
-            Xn, Pn, AXn, Wres = jax.lax.cond(
-                rr.quality == 1, project_good, project_poor, None
-            )
-        else:
-            # Dual-basis path compiled out (SolverConfig.dual_basis):
-            # no extra accurate-basis block in the loop's peak HBM.
-            Xn, Pn, AXn, Wres = project_good(None)
+        def do_update(_):
+            if config.dual_basis:
+                Xn, Pn, AXn, Wres = jax.lax.cond(
+                    rr.quality == 1, project_good, project_poor, None
+                )
+            else:
+                # Dual-basis path compiled out (SolverConfig.dual_basis):
+                # no extra accurate-basis block in the loop's peak HBM.
+                Xn, Pn, AXn, Wres = project_good(None)
+            return Xn, Pn, AXn, Wres, rr.lam, rr.sig[:m]
 
-        res = get_residual_norm(Wres, rr.lam, a_norm, b_norm, nev)
+        def do_recover(_):
+            # The projected pencil solve failed (rr.rr_ok False — e.g.
+            # NaN crept into P/W near the f32 convergence floor, making
+            # GA non-definite).  The reference writes to stderr and
+            # carries garbage (`indefinite_rr_impl.inc:88-95`); here the
+            # iteration's update is DISCARDED instead: keep the finite
+            # X/eigenvalues, reset the momentum, and rebuild W from X so
+            # the next iteration restarts from a clean [X, W] subspace.
+            Wres = get_residual(
+                c.X, c.AX if config.use_ax_cache else None, c.lam, A, B
+            )
+            return (c.X, jnp.zeros_like(c.P), c.AX, Wres, c.lam, c.sig)
+
+        Xn, Pn, AXn, Wres, lam_n, sig_n = jax.lax.cond(
+            rr.rr_ok, do_update, do_recover, None
+        )
+
+        res = get_residual_norm(Wres, lam_n, a_norm, b_norm, nev)
         convn = masking.prefix_count(res <= config.tol)
 
         act = m - convn
-        Pc = masking.shift_cols(Pn, convn, act)
+        p_next = jnp.where(rr.rr_ok, act, 0)
+        Pc = masking.shift_cols(Pn, convn, p_next)
         Wc = masking.shift_cols(Wres, convn, act)
 
-        observe.log_iteration(config, "ilobpcg", c.it, rr.lam, res, convn)
+        observe.log_iteration(config, "ilobpcg", c.it, lam_n, res, convn)
         flag = rr.quality + 8 * (~rr.rr_ok).astype(jnp.int32)
         hist = observe.history_update(
-            c.hist, c.it, rr.lam, res, convn, flag
+            c.hist, c.it, lam_n, res, convn, flag
         )
         return _Carry(
-            Xn, Pc, Wc, AXn, rr.lam, rr.sig[:m], res, convn, c.it + 1,
+            Xn, Pc, Wc, AXn, lam_n, sig_n, res, convn, c.it + 1, p_next,
             c.q5 + (rr.quality == 5).astype(jnp.int32),
             c.rr_fail + (~rr.rr_ok).astype(jnp.int32),
             hist
