@@ -91,6 +91,10 @@ def main() -> None:
                          "reported — the remote TPU relay has ~2.5x "
                          "load-dependent variance, so iterations is the "
                          "stable metric and wall-clock is best-of-N")
+    ap.add_argument("--gram-precision", default="highest",
+                    choices=("highest", "high"),
+                    help="MXU passes for Gram contractions: 'high' "
+                         "(bf16_3x) halves their MXU time")
     ap.add_argument("--chunk", type=int, default=0,
                     help="split the solve into warm-restarted launches "
                          "of this many iterations (one compile; the "
@@ -156,7 +160,8 @@ def main() -> None:
     cfg = SolverConfig(nev=nev, size_sub=ss, tol=args.tol,
                        max_iter=args.max_iter,
                        use_ax_cache=not args.no_ax_cache,
-                       dual_basis=not args.no_dual_basis)
+                       dual_basis=not args.no_dual_basis,
+                       gram_precision=args.gram_precision)
 
     if args.realify:
         import jax as _jax

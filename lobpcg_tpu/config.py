@@ -104,6 +104,15 @@ class SolverConfig:
     #   'qz'       - scipy QZ via pure_callback      (host round-trip)
     rr_method: str = "cholesky"
 
+    # MXU precision for the numerically-sensitive contractions (Grams,
+    # basis transforms; ops/gram.mm/_hdot).  'highest' = 6 bf16 passes
+    # (full f32); 'high' = 3 passes (bf16_3x, ~f32-comparable for inner
+    # products at roughly half the MXU time — the Gram contractions are
+    # ~41% of an ilobpcg iteration at dim-2M x 128, see
+    # benchmarks/profile_solve.py).  The operator SpMM path is not
+    # affected (operators choose their own precision).
+    gram_precision: str = "highest"
+
     # Cache AX between iterations (the reference's AX field).
     use_ax_cache: bool = True
 
@@ -148,6 +157,10 @@ class SolverConfig:
             )
         if self.rr_method not in ("cholesky", "qz", "auto"):
             raise ValueError(f"unknown rr_method: {self.rr_method!r}")
+        if self.gram_precision not in ("highest", "high"):
+            raise ValueError(
+                f"unknown gram_precision: {self.gram_precision!r}"
+            )
 
     def resolved_eps(self, dtype) -> tuple[float, float]:
         e = eps_tol(dtype)

@@ -23,18 +23,51 @@ import jax.numpy as jnp
 from lobpcg_tpu.operators.linop import LinearOperator
 
 
+# MXU precision for the numerically-sensitive contractions below.  The
+# default (HIGHEST, 6 bf16 passes = full f32) is trace-time switchable
+# to HIGH (bf16_3x, 3 passes) via `precision_ctx` — the solvers wrap
+# their trace in it according to SolverConfig.gram_precision.  A plain
+# module global is safe here: it is only read while TRACING (the value
+# is baked into the compiled program), and tracing is driven
+# single-threaded by the public solver entry points.
+_PRECISION = [jax.lax.Precision.HIGHEST]
+
+_PRECISION_NAMES = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+}
+
+
+class precision_ctx:
+    """Context manager: set the Gram-contraction MXU precision for any
+    tracing performed inside (restores the previous value on exit)."""
+
+    def __init__(self, name_or_precision):
+        self._new = _PRECISION_NAMES.get(
+            name_or_precision, name_or_precision
+        )
+
+    def __enter__(self):
+        self._old = _PRECISION[0]
+        _PRECISION[0] = self._new
+
+    def __exit__(self, *exc):
+        _PRECISION[0] = self._old
+        return False
+
+
 def mm(A: jax.Array, B: jax.Array) -> jax.Array:
     """Numerically-sensitive matmul: full-precision MXU passes.
 
     On TPU, f32 matmuls default to bf16 MXU passes; for Gram assembly and
     basis transforms that destroys orthogonality at operator scales like
     1/h^2 ~ 1e6 (observed: eigenvalues 60x off on a v5e).  Precision
-    HIGHEST requests the multi-pass full-f32 product.  The operator
-    application hot path (SpMM) is NOT forced through this — operators
-    choose their own precision.
+    HIGHEST (default; see `precision_ctx`) requests the multi-pass
+    full-f32 product.  The operator application hot path (SpMM) is NOT
+    forced through this — operators choose their own precision.
     """
     return jnp.matmul(
-        A, B, precision=jax.lax.Precision.HIGHEST,
+        A, B, precision=_PRECISION[0],
         preferred_element_type=B.dtype,
     )
 
@@ -59,7 +92,7 @@ def _hdot(V: jax.Array, U: jax.Array, out_dtype=None) -> jax.Array:
     """
     dt = jnp.dtype(out_dtype) if out_dtype is not None else U.dtype
     return jnp.matmul(
-        V.conj().T, U, precision=jax.lax.Precision.HIGHEST,
+        V.conj().T, U, precision=_PRECISION[0],
         preferred_element_type=dt,
     )
 

@@ -286,5 +286,9 @@ def ilobpcg(
         )
     P0, p0_cnt = _prepare_p0(P0, A, config)
     fn = _ilobpcg_jit_donate if donate else _ilobpcg_jit
-    r = fn(A, B, T, X0, key, config, P0, p0_cnt, it_cap)
+    from lobpcg_tpu.ops import gram
+
+    # See solvers.lobpcg: precision is baked in at trace time.
+    with gram.precision_ctx(config.gram_precision):
+        r = fn(A, B, T, X0, key, config, P0, p0_cnt, it_cap)
     return r._replace(eigenvectors=r.basis[:, : config.nev])

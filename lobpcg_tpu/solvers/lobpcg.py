@@ -339,5 +339,10 @@ def lobpcg(
         )
     P0, p0_cnt = _prepare_p0(P0, A, config)
     fn = _lobpcg_jit_donate if donate else _lobpcg_jit
-    r = fn(A, B, T, X0, key, config, P0, p0_cnt, it_cap)
+    from lobpcg_tpu.ops import gram
+
+    # Tracing (first call per config/shape) bakes the Gram-contraction
+    # MXU precision into the program; cached calls ignore the context.
+    with gram.precision_ctx(config.gram_precision):
+        r = fn(A, B, T, X0, key, config, P0, p0_cnt, it_cap)
     return r._replace(eigenvectors=r.basis[:, : config.nev])

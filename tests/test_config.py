@@ -91,3 +91,13 @@ def test_operator_composition_sugar():
     np.testing.assert_allclose(np.asarray(m)[:, 0], [2.0, 4.0])
     c = (d @ d).matmat(X)
     np.testing.assert_allclose(np.asarray(c)[:, 0], [1.0, 4.0])
+
+
+def test_gram_precision_validated():
+    import pytest
+
+    from lobpcg_tpu import SolverConfig
+
+    with pytest.raises(ValueError, match="gram_precision"):
+        SolverConfig(nev=2, size_sub=4, gram_precision="fast")
+    SolverConfig(nev=2, size_sub=4, gram_precision="high")
