@@ -47,6 +47,16 @@ QUALITY_TOL = {
     jnp.dtype(jnp.complex128): 1e-12,
 }
 
+# Projected-pencil width (3 * size_sub) beyond which single-precision
+# Gram/RR math is auto-escalated to float64: the f32 KPS reduction was
+# observed to misconverge at width 768 (1M x 150, size_sub 256 —
+# benchmarks/README.md), while width <= 576 converges cleanly.  Double
+# precision never needed escalation in testing.
+RR_WIDTH_ESCALATE = {
+    jnp.dtype(jnp.float32): 512,
+    jnp.dtype(jnp.complex64): 512,
+}
+
 
 def real_dtype(dtype) -> jnp.dtype:
     """Real counterpart of a (possibly complex) dtype."""
@@ -116,6 +126,17 @@ class SolverConfig:
     # Cache AX between iterations (the reference's AX field).
     use_ax_cache: bool = True
 
+    # ilobpcg only: compute B@X / B@P once at the top of each iteration
+    # and thread the pre-applied blocks through the ortho projector, the
+    # B-Gram (ops.gram.gram_blocks_pre) and the recovery residual —
+    # eliminating ~6 redundant [n, m] B applications per iteration (the
+    # reference re-applies B at every site, `gram_impl.inc:49-67`,
+    # `ortho_indefinite_impl.inc:84-130`).  Costs up to two extra [n, m]
+    # transients live through the ortho/RR phase (~2 GB at dim 4M x 256
+    # f32) — disable at capacity-bound sizes.  Correctness relies only on
+    # B being Hermitian (the problem contract).
+    use_b_cache: bool = True
+
     # ilobpcg only: compile the quality=5 dual-basis projection path
     # (`ilobpcg_impl.inc:228-256`).  Both lax.cond branches contribute
     # to the loop's peak HBM, and the dual-basis branch holds an extra
@@ -171,10 +192,36 @@ class SolverConfig:
 
     def resolved_rr_dtype(self, op_dtype):
         """The dtype for Gram/RR math, matched to the operator dtype's
-        complexness; None when mixed precision is off."""
+        complexness; None when mixed precision is off.
+
+        rr_dtype=None means AUTO: single-precision solves whose projected
+        pencil width 3*size_sub exceeds RR_WIDTH_ESCALATE default to
+        float64 Gram/RR math (requires jax_enable_x64; warns and stays
+        single otherwise).  Pass rr_dtype equal to the storage precision
+        (e.g. "float32") to opt out of escalation explicitly.
+        """
         if self.rr_dtype is None:
-            return None
-        rr = jnp.dtype(self.rr_dtype)
+            thr = RR_WIDTH_ESCALATE.get(jnp.dtype(op_dtype))
+            if thr is None or 3 * self.size_sub <= thr:
+                return None
+            import jax
+
+            if not jax.config.jax_enable_x64:
+                import warnings
+
+                warnings.warn(
+                    f"size_sub={self.size_sub} gives a projected pencil "
+                    f"width of {3 * self.size_sub} > {thr}, where the "
+                    "single-precision reduction is known to misconverge; "
+                    "enable jax_enable_x64 to allow the automatic "
+                    'rr_dtype="float64" escalation (or set rr_dtype '
+                    "explicitly to silence this).",
+                    stacklevel=3,
+                )
+                return None
+            rr = jnp.dtype(jnp.float64)
+        else:
+            rr = jnp.dtype(self.rr_dtype)
         if jnp.issubdtype(jnp.dtype(op_dtype), jnp.complexfloating):
             if not jnp.issubdtype(rr, jnp.complexfloating):
                 rr = jnp.dtype(jnp.result_type(rr, jnp.complex64))

@@ -197,6 +197,18 @@ def gram_blocks(blocks, B: Optional[LinearOperator] = None,
     return jnp.concatenate(cols, axis=1)
 
 
+def gram_blocks_pre(blocks, Bblocks, out_dtype=None) -> jax.Array:
+    """G = S^H (B S) from PRE-APPLIED operator blocks: zero operator
+    applications.  The ilobpcg driver computes B@X / B@P once per
+    iteration and receives B@W from the ortho pass's last inner-loop
+    application, so the per-iteration B-Gram costs only the k x k
+    contractions (the reference re-applies B here,
+    `src/gram/gram_impl.inc:49-67` — at the measured 2M x 128 profile
+    each [n, m] B application is ~9 ms, ~4% of the iteration)."""
+    cols = [bh_dot(blocks, Bb, out_dtype) for Bb in Bblocks]
+    return jnp.concatenate(cols, axis=1)
+
+
 def scale_diag(G: jax.Array):
     """Guarded Jacobi scaling: D_ii = 1/sqrt(|G_ii|), Gs = D G D.
     Shared by SVQB and the Rayleigh-Ritz Cholesky path (the reference's

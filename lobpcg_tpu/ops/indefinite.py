@@ -27,6 +27,7 @@ from lobpcg_tpu.ops.gram import (
     blocks_dtype,
     frob_norm,
     gram_blocks,
+    gram_blocks_pre,
     gram_self,
     mm,
 )
@@ -112,6 +113,7 @@ def indefinite_rayleigh_ritz_modified(
     max_outer: int = 3,
     max_inner: int = 3,
     rr_dtype=None,
+    Bblocks=None,
 ) -> IndefiniteRRResult:
     """Per-iteration indefinite RR over the masked [X|P|W] subspace.
 
@@ -119,6 +121,11 @@ def indefinite_rayleigh_ritz_modified(
     sort, Cx / Cp = [0; Z2] extraction, and the quality=5 dual-basis
     fallback (svqb_mat-stabilized Cx_ortho).
     Reference: `indefinite_rr_modified_impl.inc:58-255`.
+
+    ``Bblocks``: optional pre-applied (B@X, B@P, B@W) matching ``S``'s
+    blocks — the B-Gram is then assembled with zero operator
+    applications (gram_blocks_pre; the driver reuses its top-of-iteration
+    B@X / B@P and the ortho pass's exit B@W).
     """
     blocks = as_blocks(S, nx)
     k = sum(b.shape[1] for b in blocks)
@@ -130,7 +137,10 @@ def indefinite_rayleigh_ritz_modified(
     # inject_diag below zeroes dead Gram rows/cols exactly; blocks keep
     # the concatenated S out of HBM entirely.
     GA = _a_gram(blocks, AX, A, out_dtype=rr_dtype)
-    GB = gram_blocks(blocks, B, out_dtype=rr_dtype)
+    GB = (
+        gram_blocks(blocks, B, out_dtype=rr_dtype) if Bblocks is None
+        else gram_blocks_pre(blocks, Bblocks, out_dtype=rr_dtype)
+    )
     # Dead coordinates: unit pencil eigenpair (lambda = 1, sig would be
     # +1); detected below via coordinate mass and forced to sig = 0 so
     # the sort pushes them past every live eigenpair.

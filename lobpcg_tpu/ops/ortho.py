@@ -54,30 +54,32 @@ def _bnorm(B, vb):
 
 
 def _svqb_inner_loop(
-    U, G0, nu, B, eps_ortho, eps_drop, max_inner, *, indefinite,
+    U, BU0, G0, nu, B, eps_ortho, eps_drop, max_inner, *, indefinite,
     rr_dtype=None
 ):
     """Shared inner loop: repeat svqb until ||U^H B U - I_sig|| is small.
 
-    The k x k Gram G = U^H B U is carried through the loop (initialized
-    by the caller from its own B application), so each iteration costs
-    ONE operator application — the incoming U's Gram is already in hand,
-    and the freshly applied BU serves both the convergence check and the
-    next iteration.  Carrying the tiny Gram instead of the [n, m] BU
-    block keeps the while-loop carry small (a BU carry measurably tipped
-    capacity-bound solves over the HBM limit).
+    Both the k x k Gram G = U^H B U and the [n, m] application BU are
+    carried (initialized by the caller from its single seed application),
+    so each iteration costs ONE operator application, and on exit BU
+    matches the returned U exactly — the caller's outer-loop convergence
+    check and the driver's B-Gram assembly reuse it instead of
+    re-applying B (ops.gram.gram_blocks_pre).  The BU carry costs one
+    [n, m] block in the loop state; it pays for itself by deleting one
+    B application per outer step AND the three B applications of the
+    per-iteration B-Gram downstream.
 
     ortho_drop normalizes by ||B*U||*||U|| (`ortho_drop_impl.inc:97-110`);
     ortho_indefinite by ||U||^2 (`ortho_indefinite_impl.inc:141-151`).
-    Returns (U, nu).
+    Returns (U, BU, nu).
     """
 
     def cond(carry):
-        _, _, _, i, done = carry
+        _, _, _, _, i, done = carry
         return (i < max_inner) & ~done
 
     def body(carry):
-        U, G, nu, i, _ = carry
+        U, _, G, nu, i, _ = carry
         T, nu2 = _svqb_transform(G, nu, eps_drop, True, U.dtype)
         U2 = masking.mask_cols(mm(U, T), nu2)
         BU2 = apply_block_op(B, U2)
@@ -90,12 +92,12 @@ def _svqb_inner_loop(
             BU_norm = U_norm if B is None else frob_norm(BU2)
             denom = BU_norm * U_norm
         done = err / denom < eps_ortho
-        return U2, G2, nu2, i + 1, done
+        return U2, BU2, G2, nu2, i + 1, done
 
-    U, _, nu, _, _ = jax.lax.while_loop(
-        cond, body, (U, G0, nu, jnp.int32(0), jnp.bool_(False))
+    U, BU, _, nu, _, _ = jax.lax.while_loop(
+        cond, body, (U, BU0, G0, nu, jnp.int32(0), jnp.bool_(False))
     )
-    return U, nu
+    return U, BU, nu
 
 
 def ortho_drop(
@@ -110,6 +112,8 @@ def ortho_drop(
     max_outer: int = 3,
     max_inner: int = 3,
     rr_dtype=None,
+    Bvb=None,
+    return_bu: bool = False,
 ):
     """B-orthogonalize U against V (B positive semi-definite), with
     column dropping.  Returns (U_new, retained_count).
@@ -119,41 +123,62 @@ def ortho_drop(
     (soft locking writes zero-masked P), so no tall masking copy is
     needed (`nv` stays in the signature for the contract).
     Reference: `src/ortho/ortho_drop_impl.inc:43-125`.
+
+    Operator-application economy (B Hermitian by the problem contract):
+    ``Bvb`` — pre-applied (B@X, B@P) — turns the projector coefficient
+    V^H B U into (B V)^H U and sources ||B V|| directly, removing one B
+    application per outer step plus the entry norm pass;
+    ``return_bu=True`` additionally returns the exit B@U (matching the
+    returned U exactly) so the caller's B-Gram can reuse it.  See
+    ortho_indefinite for the same contract on the signature-weighted
+    path.
     """
     nu = jnp.int32(nu)
     del nv
     vb = as_blocks(V, U.shape[1])
     U = masking.mask_cols(U, nu)
 
-    BV_norm = _guard(_bnorm(B, vb), eps_ortho)
+    if Bvb is not None:
+        bv2 = sum(jnp.sum(jnp.abs(Bb) ** 2).real for Bb in Bvb)
+        BV_norm = _guard(jnp.sqrt(bv2), eps_ortho)
+    else:
+        BV_norm = _guard(_bnorm(B, vb), eps_ortho)
 
     def cond(carry):
-        _, _, outer, done = carry
+        _, _, _, outer, done = carry
         return (outer < max_outer) & ~done
 
     def body(carry):
-        U, nu, outer, _ = carry
+        U, _, nu, outer, _ = carry
         # Project: U -= V (V^H B U), then one more application of the
-        # projected U seeds the inner loop's Gram — two B applications
-        # per outer step plus one per inner step plus the final check.
-        BU = apply_block_op(B, U)
-        coef = bh_dot(vb, BU)
+        # projected U seeds the inner loop — two B applications per outer
+        # step (one with Bvb) plus one per inner step; the final check
+        # reuses the inner loop's last BU instead of a fourth application.
+        coef = (
+            bh_dot(Bvb, U) if Bvb is not None else
+            bh_dot(vb, apply_block_op(B, U))
+        )
         U = masking.mask_cols(U - b_mm(vb, coef), nu)
         BU = apply_block_op(B, U)
         G0 = _hdot(U, BU, rr_dtype)
-        U, nu = _svqb_inner_loop(
-            U, G0, nu, B, eps_ortho, eps_drop, max_inner, indefinite=False,
-            rr_dtype=rr_dtype,
+        U, BU, nu = _svqb_inner_loop(
+            U, BU, G0, nu, B, eps_ortho, eps_drop, max_inner,
+            indefinite=False, rr_dtype=rr_dtype,
         )
-        # Check ||V^H B U||_F.
-        coef2 = bh_dot(vb, apply_block_op(B, U))
+        # Check ||V^H B U||_F (BU is exactly B @ the returned U).
+        coef2 = bh_dot(vb, BU)
         U_norm = _guard(frob_norm(U), eps_ortho)
         rerr = frob_norm(coef2) / (BV_norm * U_norm)
-        return U, nu, outer + 1, rerr < eps_ortho
+        return U, BU, nu, outer + 1, rerr < eps_ortho
 
-    U, nu, _, _ = jax.lax.while_loop(
-        cond, body, (U, nu, jnp.int32(0), jnp.bool_(False))
+    # done starts False, so the body (and the BU carry) runs at least
+    # once — the zeros seed is never returned.
+    U, BU, nu, _, _ = jax.lax.while_loop(
+        cond, body,
+        (U, jnp.zeros_like(U), nu, jnp.int32(0), jnp.bool_(False)),
     )
+    if return_bu:
+        return U, nu, BU
     return U, nu
 
 
@@ -170,6 +195,8 @@ def ortho_indefinite(
     max_outer: int = 3,
     max_inner: int = 3,
     rr_dtype=None,
+    Bvb=None,
+    return_bu: bool = False,
 ):
     """Signature-weighted B-orthogonalization of U against V (B indefinite).
 
@@ -177,43 +204,68 @@ def ortho_indefinite(
     sig = V^H B V (computed when not supplied).  V may be a tuple of
     blocks (X, P); dead V columns are exactly zero (driver invariant).
     Reference: `src/ortho/ortho_indefinite_impl.inc:71-169`.
+
+    Operator-application economy (B is Hermitian by the problem
+    contract): when the caller supplies ``Bvb`` — the pre-applied tuple
+    (B@X, B@P) — the projector coefficients V^H B U are computed as
+    (B V)^H U, the external Gram sig and ||B V|| come from Bvb, and the
+    only remaining applications are the one seed per outer step plus one
+    per inner step.  With ``return_bu=True`` the final B@U (exactly
+    matching the returned U) is returned third, so the driver's B-Gram
+    re-uses it (gram_blocks_pre) instead of re-applying B.  The
+    reference re-applies B at each of these sites
+    (`ortho_indefinite_impl.inc:84-130`, `gram_impl.inc:49-67`).
     """
     nu = jnp.int32(nu)
     del nv
     vb = as_blocks(V, U.shape[1])
     U = masking.mask_cols(U, nu)
 
-    if sig is None:
-        # sig = V^H B V; dead V columns give exactly-zero rows/cols, which
-        # makes the projector vanish on them — no injection needed.
-        sig = gram_blocks(vb, B)
-
-    BV_norm = _guard(_bnorm(B, vb), eps_ortho)
+    if Bvb is not None:
+        if sig is None:
+            # sig = V^H B V from the pre-applied blocks; dead V columns
+            # give exactly-zero rows/cols, so the projector vanishes on
+            # them — no injection needed.
+            sig = jnp.concatenate(
+                [bh_dot(vb, Bb) for Bb in Bvb], axis=1
+            )
+        bv2 = sum(jnp.sum(jnp.abs(Bb) ** 2).real for Bb in Bvb)
+        BV_norm = _guard(jnp.sqrt(bv2), eps_ortho)
+    else:
+        if sig is None:
+            sig = gram_blocks(vb, B)
+        BV_norm = _guard(_bnorm(B, vb), eps_ortho)
 
     def cond(carry):
-        _, _, outer, done = carry
+        _, _, _, outer, done = carry
         return (outer < max_outer) & ~done
 
     def body(carry):
-        U, nu, outer, _ = carry
-        BU = apply_block_op(B, U)
-        coef = bh_dot(vb, BU)
+        U, _, nu, outer, _ = carry
+        coef = (
+            bh_dot(Bvb, U) if Bvb is not None else
+            bh_dot(vb, apply_block_op(B, U))
+        )
         tmp = mm(sig, coef)
         U = masking.mask_cols(U - b_mm(vb, tmp), nu)
         BU = apply_block_op(B, U)
         G0 = _hdot(U, BU, rr_dtype)
-        U, nu = _svqb_inner_loop(
-            U, G0, nu, B, eps_ortho, eps_drop, max_inner, indefinite=True,
-            rr_dtype=rr_dtype,
+        U, BU, nu = _svqb_inner_loop(
+            U, BU, G0, nu, B, eps_ortho, eps_drop, max_inner,
+            indefinite=True, rr_dtype=rr_dtype,
         )
-        coef2 = bh_dot(vb, apply_block_op(B, U))
+        coef2 = bh_dot(vb, BU)
         U_norm = _guard(frob_norm(U), eps_ortho)
         rerr = frob_norm(coef2) / (BV_norm * U_norm)
-        return U, nu, outer + 1, rerr < eps_ortho
+        return U, BU, nu, outer + 1, rerr < eps_ortho
 
-    U, nu, _, _ = jax.lax.while_loop(
-        cond, body, (U, nu, jnp.int32(0), jnp.bool_(False))
+    # done starts False, so the outer body (and with it the BU carry)
+    # always executes at least once — the zeros seed is never returned.
+    U, BU, nu, _, _ = jax.lax.while_loop(
+        cond, body, (U, jnp.zeros_like(U), nu, jnp.int32(0), jnp.bool_(False))
     )
+    if return_bu:
+        return U, nu, BU
     return U, nu
 
 

@@ -28,6 +28,7 @@ Padding blocks are all-zero with col index 0: they contribute nothing.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -299,7 +300,12 @@ def ell_to_strip_window(block_cols, blocks, *, strip: int = STRIP):
     # minor dim strides partial lane tiles in both the vals stream and
     # the X gather DMA (measured: W=176 capped the kernel at ~2.4x its
     # aligned rate regardless of precision or gather).
-    Wb = -(-(Wb * bs) // 128) * 128 // bs
+    # lcm-based: for bs that divides 128 this is the old ceil-to-128;
+    # for bs = 24/40/48 (bs % 8 == 0 but not a 128 divisor) the old
+    # `ceil(Wb*bs/128)*128//bs` floor-div quietly produced a window
+    # width that was NOT a 128-lane multiple, re-losing the alignment.
+    step = math.lcm(bs, 128) // bs
+    Wb = -(-Wb // step) * step
     Wb = min(Wb, nb)  # tiny matrices: window = whole matrix
     lo = np.clip(cmin, 0, max(0, nb - Wb)).astype(np.int32)
 

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.scipy.linalg import solve_triangular
 
-from lobpcg_tpu.ops.gram import mm
+from lobpcg_tpu.ops.gram import mm, scale_diag
 
 BIG = 1e30
 
@@ -69,10 +69,44 @@ def _kps_reduce(L_safe: jax.Array, GBh: jax.Array, tiny: float):
 # rho = ||GA||_F / ||GB||_F.  (1, 0) first so the plain HPD-GA case costs
 # exactly the old path; the rest sweep both GA signs and growing |s| to
 # find the HPD combination a definite pencil is guaranteed to have.
+#
+# Grid coverage limits (documented, not silent): KPS Thm 2.3 guarantees
+# *some* HPD combination exists for a definite pencil, not that it lies
+# on this grid — a pencil whose HPD wedge is narrower than the angle
+# spacing or needs |s| > 4*rho is declared failed (ok=False) and the
+# driver recovers via `rr_failed` (discard iteration, rebuild W) rather
+# than returning garbage.  Inaccurate-but-factorable boundary cases are
+# additionally caught downstream by the B-orthogonality quality check
+# (`indefinite_rr_modified_impl.inc:183-196` parity), which routes them
+# through the dual-basis projection.
 _LADDER_C = (1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0,
              1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0, -1.0)
 _LADDER_T = (0.0, 0.0, 0.5, -0.5, 0.5, -0.5, 1.0, -1.0, 1.0, -1.0,
              2.0, -2.0, 2.0, -2.0, 4.0, -4.0, 4.0, -4.0)
+
+
+def _chol_scored(M: jax.Array):
+    """Jacobi-scaled Cholesky with a scale-invariant conditioning score.
+
+    Returns (L, ok, score): L is a Cholesky factor of M itself
+    (recovered from the scaled factor), ok = potrf succeeded, and
+    score = (min diag Ls / max diag Ls)^2 of the SCALED factor — a
+    pivot-decay proxy for rcond(D M D).  Scaling first makes the score
+    invariant to diagonal scaling, so a legitimately wide eigenvalue
+    spread in GA (diag ~ lam spans 1e6 for 1/h^2-scaled operators) does
+    not read as ill-conditioning; failed factorizations score -1.
+    """
+    D, Ms = scale_diag(M)
+    Ls = jnp.linalg.cholesky(Ms)
+    ok = ~jnp.any(jnp.isnan(Ls))
+    dg = jnp.abs(jnp.diagonal(Ls))
+    dg = jnp.where(ok, dg, 1.0)
+    score = jnp.where(
+        ok, (jnp.min(dg) / jnp.max(dg)) ** 2, jnp.asarray(-1.0, dg.dtype)
+    )
+    # L = D^-1 Ls reproduces M = L L^H (D from scale_diag is 1/sqrt|diag|).
+    L = Ls * (1.0 / D)[:, None].astype(Ls.dtype)
+    return L, ok, score
 
 
 def pencil_eig_cholesky(GA: jax.Array, GB: jax.Array, tiny: float):
@@ -80,13 +114,17 @@ def pencil_eig_cholesky(GA: jax.Array, GB: jax.Array, tiny: float):
     Returns (lam [k] real, V [k,k], ok scalar bool).
 
     Plain path (HPD GA — true for the BdG family: GA = S^H A S with A SPD
-    and S full column rank) is candidate 0 of the ladder and costs one
-    potrf.  An indefinite GA (the reference covers it via LAPACK GGEV,
-    `include/lobpcg/blas_wrapper.h:489-519`) falls back to the first HPD
-    combination C = c GA + s GB; the pencil (C, GB) has the same
-    eigenvectors and lam = (lam_C - s) / c.  ok=False only when no ladder
-    combination is definite (non-definite pencil) — outputs are then NaN-
-    poisoned so the failure is visible, and the driver flags `rr_failed`.
+    and S full column rank) costs one Jacobi-scaled potrf.  When GA is
+    indefinite, or its factor is near the definiteness boundary (scaled
+    pivot-decay score below sqrt(eps)), the ladder factors every
+    combination C = c GA + s GB and picks the BEST-CONDITIONED definite
+    candidate — not the first that factors — so barely-HPD grid hits do
+    not silently drive an inaccurate reduction (the pencil (C, GB) has
+    the same eigenvectors and lam = (lam_C - s) / c).  ok=False only when
+    no ladder combination is definite (see the grid-coverage note above)
+    — outputs are then NaN-poisoned so the failure is visible, and the
+    driver flags `rr_failed`.  Reference counterpart: LAPACK GGEV,
+    `include/lobpcg/blas_wrapper.h:489-519`.
     """
     k = GA.shape[0]
     dt = GA.dtype
@@ -94,8 +132,14 @@ def pencil_eig_cholesky(GA: jax.Array, GB: jax.Array, tiny: float):
     GAh = 0.5 * (GA + GA.conj().T)
     GBh = 0.5 * (GB + GB.conj().T)
 
-    L0 = jnp.linalg.cholesky(GAh)
-    ok0 = ~jnp.any(jnp.isnan(L0))
+    L0, ok0, sc0 = _chol_scored(GAh)
+    # Healthy fast path: HPD and comfortably conditioned.  sqrt(eps) ~
+    # 3.5e-4 (f32) / 1.5e-8 (f64) on the scale-invariant score keeps the
+    # one-potrf path for every well-posed iteration; near-boundary GA
+    # escalates to the scored ladder (which still contains (1, 0), so a
+    # merely-suspicious GA that really is the best candidate wins there).
+    floor = float(np.sqrt(np.finfo(np.dtype(rdt)).eps))
+    good0 = ok0 & (sc0 >= floor)
 
     def plain(_):
         return L0, jnp.asarray(1.0, rdt), jnp.asarray(0.0, rdt), ok0
@@ -104,18 +148,17 @@ def pencil_eig_cholesky(GA: jax.Array, GB: jax.Array, tiny: float):
         nGA = jnp.sqrt(jnp.sum(jnp.abs(GAh) ** 2)).real
         nGB = jnp.sqrt(jnp.sum(jnp.abs(GBh) ** 2)).real
         rho = jnp.where(nGB > 0, nGA / jnp.where(nGB > 0, nGB, 1.0), 1.0)
-        cs = jnp.asarray(_LADDER_C[1:], rdt)
-        ss = jnp.asarray(_LADDER_T[1:], rdt) * rho
+        cs = jnp.asarray(_LADDER_C, rdt)
+        ss = jnp.asarray(_LADDER_T, rdt) * rho
         Cs = (
             cs[:, None, None].astype(dt) * GAh[None]
             + ss[:, None, None].astype(dt) * GBh[None]
         )
-        Ls = jnp.linalg.cholesky(Cs)
-        oks = ~jnp.any(jnp.isnan(Ls), axis=(1, 2))
-        idx = jnp.argmax(oks)  # first HPD candidate
+        Ls, oks, scs = jax.vmap(_chol_scored)(Cs)
+        idx = jnp.argmax(scs)  # best-conditioned definite candidate
         return Ls[idx], cs[idx], ss[idx], jnp.any(oks)
 
-    L, c, s, ok = jax.lax.cond(ok0, plain, ladder, None)
+    L, c, s, ok = jax.lax.cond(good0, plain, ladder, None)
     L_safe = jnp.where(ok, L, jnp.eye(k, dtype=dt))
     lam_C, V = _kps_reduce(L_safe, GBh, tiny)
     # Map back: lam = (lam_C - s) / c; +-BIG sentinels keep sentinel

@@ -33,6 +33,7 @@ from lobpcg_tpu.ops.gram import (
     blocks_dtype,
     frob_norm,
     gram_blocks,
+    gram_blocks_pre,
     gram_self,
     mm,
     scale_diag as _scale_diag,
@@ -157,6 +158,7 @@ def rayleigh_ritz_modified(
     nx: int,
     tol_skip: float = 5e-3,
     rr_dtype=None,
+    Bblocks=None,
 ) -> RRResult:
     """Per-iteration RR over the masked [X|P|W] subspace.
 
@@ -166,6 +168,10 @@ def rayleigh_ritz_modified(
     is always fully live.  `use_ortho` (traced i32) selects the branch;
     the Cholesky branch reports flag=2 when potrf fails or
     rcond < tol_skip, matching `rayleigh_ritz_modified_impl.inc:144-178`.
+
+    ``Bblocks``: optional pre-applied (B@X, B@P, B@W) matching the S
+    blocks — the Cholesky branch's B-Gram then costs zero operator
+    applications (gram_blocks_pre).
     """
     blocks = as_blocks(S, nx)
     k = sum(b.shape[1] for b in blocks)
@@ -192,7 +198,10 @@ def rayleigh_ritz_modified(
         )
 
     def chol_branch(_):
-        GB = gram_blocks(blocks, B, out_dtype=rr_dtype)
+        GB = (
+            gram_blocks(blocks, B, out_dtype=rr_dtype) if Bblocks is None
+            else gram_blocks_pre(blocks, Bblocks, out_dtype=rr_dtype)
+        )
         GB = masking.inject_diag(GB, live, 1.0)
         D, Gs = _scale_diag(GB)
         L = jnp.linalg.cholesky(Gs)

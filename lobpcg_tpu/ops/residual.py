@@ -28,11 +28,14 @@ def get_residual(
     lam: jax.Array,
     A: LinearOperator,
     B: Optional[LinearOperator] = None,
+    BX: Optional[jax.Array] = None,
 ) -> jax.Array:
     """W = A X - B X diag(lam).  AX may be a cached A@X (the reference's
-    AX field, `residual_impl.inc:38-41`)."""
+    AX field, `residual_impl.inc:38-41`); BX likewise a pre-applied B@X
+    (the ilobpcg recovery path reuses its top-of-iteration application)."""
     W = A.matmat(X) if AX is None else AX
-    BX = apply_block_op(B, X)
+    if BX is None:
+        BX = apply_block_op(B, X)
     return W - BX * lam[None, :].astype(BX.dtype)
 
 

@@ -26,7 +26,7 @@ from lobpcg_tpu.config import (
 )
 from lobpcg_tpu.operators.linop import LinearOperator
 from lobpcg_tpu.ops import masking
-from lobpcg_tpu.ops.gram import b_mm, mm
+from lobpcg_tpu.ops.gram import apply_block_op, b_mm, mm
 from lobpcg_tpu.ops.indefinite import (
     indefinite_rayleigh_ritz,
     indefinite_rayleigh_ritz_modified,
@@ -108,8 +108,12 @@ def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
     )
 
     # Runtime iteration cap (see solvers.lobpcg): traced, so chunked
-    # drivers vary it per call with ONE compile.
-    limit = config.max_iter if it_cap is None else it_cap
+    # drivers vary it per call with ONE compile.  Clamped to max_iter so
+    # history scatters stay in bounds.
+    limit = (
+        config.max_iter if it_cap is None
+        else jnp.minimum(jnp.int32(it_cap), config.max_iter)
+    )
 
     def cond(c: _Carry):
         return (c.it < limit) & (c.conv < nev)
@@ -124,13 +128,31 @@ def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
             W = masking.mask_cols(T.matmat(W), nw)
 
         # Indefinite orthogonalization against [X, P_active], every
-        # iteration (`ilobpcg_impl.inc:168-178`).
-        W, nw = ortho_indefinite(
-            W, nw, (c.X, c.P), m + np_act, B,
-            eps_ortho=eps_ortho, eps_drop=eps_drop,
-            max_outer=config.max_outer, max_inner=config.max_inner,
-            rr_dtype=rrdt,
-        )
+        # iteration (`ilobpcg_impl.inc:168-178`).  With use_b_cache, B is
+        # applied to X and P ONCE here and the pre-applied blocks feed
+        # the ortho projector, the RR B-Gram (gram_blocks_pre via
+        # Bblocks), and the recovery residual — ~6 fewer [n, m] B
+        # applications per iteration than re-applying at each site the
+        # way the reference does (`gram_impl.inc:49-67`).
+        if config.use_b_cache:
+            BX = apply_block_op(B, c.X)
+            BP = apply_block_op(B, c.P)
+            W, nw, BW = ortho_indefinite(
+                W, nw, (c.X, c.P), m + np_act, B,
+                eps_ortho=eps_ortho, eps_drop=eps_drop,
+                max_outer=config.max_outer, max_inner=config.max_inner,
+                rr_dtype=rrdt, Bvb=(BX, BP), return_bu=True,
+            )
+            Bblocks = (BX, BP, BW)
+        else:
+            BX = None
+            W, nw = ortho_indefinite(
+                W, nw, (c.X, c.P), m + np_act, B,
+                eps_ortho=eps_ortho, eps_drop=eps_drop,
+                max_outer=config.max_outer, max_inner=config.max_inner,
+                rr_dtype=rrdt,
+            )
+            Bblocks = None
         blocks = (c.X, c.P, W)
 
         AX = c.AX if config.use_ax_cache else None
@@ -139,7 +161,7 @@ def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
             nx=m, method=config.rr_method, tiny=tn, quality_tol=qt,
             eps_ortho=eps_ortho, eps_drop=eps_drop,
             max_outer=config.max_outer, max_inner=config.max_inner,
-            rr_dtype=rrdt,
+            rr_dtype=rrdt, Bblocks=Bblocks,
         )
 
         def project_good(_):
@@ -184,7 +206,8 @@ def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
             # X/eigenvalues, reset the momentum, and rebuild W from X so
             # the next iteration restarts from a clean [X, W] subspace.
             Wres = get_residual(
-                c.X, c.AX if config.use_ax_cache else None, c.lam, A, B
+                c.X, c.AX if config.use_ax_cache else None, c.lam, A, B,
+                BX=BX,
             )
             return (c.X, jnp.zeros_like(c.P), c.AX, Wres, c.lam, c.sig)
 
@@ -207,7 +230,10 @@ def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
         )
         return _Carry(
             Xn, Pc, Wc, AXn, lam_n, sig_n, res, convn, c.it + 1, p_next,
-            c.q5 + (rr.quality == 5).astype(jnp.int32),
+            # rr-failed iterations also produce quality==5 (NaN lam fails
+            # the quality check) but take do_recover, not the dual-basis
+            # path — gate on rr_ok so the counters don't double-count.
+            c.q5 + ((rr.quality == 5) & rr.rr_ok).astype(jnp.int32),
             c.rr_fail + (~rr.rr_ok).astype(jnp.int32),
             hist
         )
@@ -283,6 +309,10 @@ def ilobpcg(
     if X0 is not None and X0.shape[0] != A.shape[0]:
         raise ValueError(
             f"X0 has {X0.shape[0]} rows, expected A.shape[0]={A.shape[0]}"
+        )
+    if isinstance(it_cap, int) and it_cap > config.max_iter:
+        raise ValueError(
+            f"it_cap ({it_cap}) > config.max_iter ({config.max_iter})"
         )
     P0, p0_cnt = _prepare_p0(P0, A, config)
     fn = _ilobpcg_jit_donate if donate else _ilobpcg_jit

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from lobpcg_tpu.config import SolverConfig, validate_problem
 from lobpcg_tpu.operators.linop import LinearOperator
 from lobpcg_tpu.ops import masking
-from lobpcg_tpu.ops.gram import b_mm, mm
+from lobpcg_tpu.ops.gram import apply_block_op, b_mm, mm
 from lobpcg_tpu.ops.ortho import ortho_drop
 from lobpcg_tpu.ops.rayleigh import (
     RRResult,
@@ -117,7 +117,12 @@ def _lobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
         hist0,
     )
 
-    def do_ortho(W, nw, X, P, np_act):
+    # Reuse B applications across the ortho pass and the RR B-Gram (see
+    # solvers.ilobpcg / SolverConfig.use_b_cache); pointless when B is
+    # None (applications are the identity).
+    cache_b = config.use_b_cache and B is not None
+
+    def do_ortho(W, nw, X, P, np_act, Bvb=None):
         # Orthogonalize W against [X, P_active] (`lobpcg_impl.inc:158-166`).
         return ortho_drop(
             W,
@@ -130,12 +135,19 @@ def _lobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
             max_outer=config.max_outer,
             max_inner=config.max_inner,
             rr_dtype=rrdt,
+            Bvb=Bvb,
+            return_bu=cache_b,
         )
 
     # Runtime iteration cap (traced, <= config.max_iter): chunked
     # drivers (utils.checkpoint.solve_checkpointed) vary it without
     # recompiling — the static max_iter only sizes history arrays.
-    limit = config.max_iter if it_cap is None else it_cap
+    # Clamped: iterations beyond max_iter would scatter history rows out
+    # of bounds (JAX clamps the index, silently overwriting the last row).
+    limit = (
+        config.max_iter if it_cap is None
+        else jnp.minimum(jnp.int32(it_cap), config.max_iter)
+    )
 
     def cond(c: _Carry):
         return (c.it < limit) & (c.conv < nev)
@@ -151,13 +163,30 @@ def _lobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
         if T is not None:
             W = masking.mask_cols(T.matmat(W), nw)
 
-        # Optional robust orthogonalization of W.
-        W, nw = jax.lax.cond(
-            c.use_ortho >= 1,
-            lambda args: do_ortho(*args),
-            lambda args: (args[0], args[1]),
-            (W, nw, c.X, c.P, np_act),
-        )
+        # Optional robust orthogonalization of W.  With cache_b, B@X and
+        # B@P are applied ONCE here and threaded through the ortho
+        # projector and the RR B-Gram; the no-ortho branch applies B@W
+        # itself (1 application, replacing the 3 the B-Gram would do).
+        if cache_b:
+            BX = apply_block_op(B, c.X)
+            BP = apply_block_op(B, c.P)
+            Bvb = (BX, BP)
+            W, nw, BW = jax.lax.cond(
+                c.use_ortho >= 1,
+                lambda args: do_ortho(*args, Bvb=Bvb),
+                lambda args: (args[0], args[1], apply_block_op(B, args[0])),
+                (W, nw, c.X, c.P, np_act),
+            )
+            Bblocks = (BX, BP, BW)
+        else:
+            Bvb = None
+            W, nw = jax.lax.cond(
+                c.use_ortho >= 1,
+                lambda args: do_ortho(*args),
+                lambda args: (args[0], args[1]),
+                (W, nw, c.X, c.P, np_act),
+            )
+            Bblocks = None
 
         AX = c.AX if config.use_ax_cache else None
         rr = rayleigh_ritz_modified(
@@ -171,13 +200,19 @@ def _lobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
             nx=m,
             tol_skip=config.tol_skip,
             rr_dtype=rrdt,
+            Bblocks=Bblocks,
         )
 
         # Cholesky/cond failure: orthogonalize W and retry with the ortho
         # branch (`lobpcg_impl.inc:180-196`).
         def retry(args):
             W, nw = args
-            W2, nw2 = do_ortho(W, nw, c.X, c.P, np_act)
+            if cache_b:
+                W2, nw2, BW2 = do_ortho(W, nw, c.X, c.P, np_act, Bvb=Bvb)
+                Bb2 = (BX, BP, BW2)
+            else:
+                W2, nw2 = do_ortho(W, nw, c.X, c.P, np_act)
+                Bb2 = None
             rr2 = rayleigh_ritz_modified(
                 (c.X, c.P, W2),
                 AX,
@@ -189,6 +224,7 @@ def _lobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
                 nx=m,
                 tol_skip=config.tol_skip,
                 rr_dtype=rrdt,
+                Bblocks=Bb2,
             )
             return rr2, W2, jnp.int32(1)
 
@@ -336,6 +372,10 @@ def lobpcg(
     if X0 is not None and X0.shape[0] != A.shape[0]:
         raise ValueError(
             f"X0 has {X0.shape[0]} rows, expected A.shape[0]={A.shape[0]}"
+        )
+    if isinstance(it_cap, int) and it_cap > config.max_iter:
+        raise ValueError(
+            f"it_cap ({it_cap}) > config.max_iter ({config.max_iter})"
         )
     P0, p0_cnt = _prepare_p0(P0, A, config)
     fn = _lobpcg_jit_donate if donate else _lobpcg_jit

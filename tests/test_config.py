@@ -101,3 +101,49 @@ def test_gram_precision_validated():
     with pytest.raises(ValueError, match="gram_precision"):
         SolverConfig(nev=2, size_sub=4, gram_precision="fast")
     SolverConfig(nev=2, size_sub=4, gram_precision="high")
+
+
+def test_rr_dtype_auto_escalation():
+    """Wide projected pencils (3*size_sub > 512) auto-escalate f32 Gram/RR
+    math to float64 (the f32 KPS reduction misconverges at width 768 —
+    benchmarks/README.md); narrow pencils and double dtypes do not."""
+    wide = SolverConfig(nev=150, size_sub=256)
+    assert wide.resolved_rr_dtype(jnp.float32) == jnp.dtype(jnp.float64)
+    assert wide.resolved_rr_dtype(jnp.complex64) == jnp.dtype(jnp.complex128)
+    # Double precision never escalates.
+    assert wide.resolved_rr_dtype(jnp.float64) is None
+    assert wide.resolved_rr_dtype(jnp.complex128) is None
+    # Narrow pencil: no escalation.
+    narrow = SolverConfig(nev=150, size_sub=160)
+    assert narrow.resolved_rr_dtype(jnp.float32) is None
+    # Explicit rr_dtype (even the storage precision) opts out of auto.
+    optout = SolverConfig(nev=150, size_sub=256, rr_dtype="float32")
+    assert optout.resolved_rr_dtype(jnp.float32) == jnp.dtype(jnp.float32)
+
+
+def test_rr_dtype_auto_escalation_warns_without_x64():
+    """When x64 is off the escalation cannot engage: warn, stay single."""
+    import warnings
+
+    wide = SolverConfig(nev=150, size_sub=256)
+    jax.config.update("jax_enable_x64", False)
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            assert wide.resolved_rr_dtype(jnp.float32) is None
+        assert any("x64" in str(w.message) for w in caught)
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
+def test_it_cap_validation_and_clamp():
+    """A Python-int it_cap > max_iter is rejected host-side; a traced
+    it_cap is clamped so history scatters stay in bounds."""
+    A = laplacian_op(30, jnp.float64)
+    X0 = rand_block(1, 30, 4, jnp.float64)
+    with pytest.raises(ValueError, match="it_cap"):
+        lobpcg(A, X0, nev=2, size_sub=4, max_iter=10, it_cap=20)
+    # Traced cap beyond max_iter: runs at most max_iter iterations.
+    r = lobpcg(A, X0, nev=2, size_sub=4, tol=0.0, max_iter=3,
+               it_cap=jnp.int32(50))
+    assert int(r.iterations) == 3

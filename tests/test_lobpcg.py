@@ -141,6 +141,29 @@ def test_generalized_pencil():
     np.testing.assert_allclose(X.T @ Bm @ X, np.eye(nev), atol=1e-6)
 
 
+def test_generalized_pencil_b_cache_off():
+    """use_b_cache=False (re-apply B at every site) matches the cached
+    default on the SPD-B pencil — covers the Bvb/Bblocks plumbing in the
+    definite driver (solvers/lobpcg.py) against the legacy path."""
+    from lobpcg_tpu import SolverConfig
+
+    n, nev, m = 40, 3, 5
+    rng = np.random.RandomState(9)
+    Am = rng.randn(n, n)
+    Am = Am @ Am.T + n * np.eye(n)
+    Bm = np.diag(rng.uniform(0.5, 2.0, n))
+    A, B = dense_op(Am, jnp.float64), dense_op(Bm, jnp.float64)
+    X0 = rand_block(77, n, m, jnp.float64)
+    r1 = lobpcg(A, X0, B, nev=nev, size_sub=m, tol=1e-8, max_iter=300)
+    cfg = SolverConfig(nev=nev, size_sub=m, tol=1e-8, max_iter=300,
+                       use_b_cache=False)
+    r2 = lobpcg(A, X0, B, config=cfg)
+    assert int(r1.converged) == nev and int(r2.converged) == nev
+    np.testing.assert_allclose(
+        np.asarray(r1.eigenvalues), np.asarray(r2.eigenvalues), rtol=1e-9
+    )
+
+
 def test_jacobi_preconditioner_speeds_convergence():
     """T slot capability (`lobpcg_impl.inc:152-155`)."""
     n, nev, m = 200, 2, 4
