@@ -123,11 +123,56 @@ def _copy_fn(n: int, k: int, tile: int = 2048):
     return copy
 
 
+# Flagship end-to-end solve reported as a second JSON line (first in
+# print order; the LAST line stays the headline SpMM metric for
+# round-over-round comparability).  Chunked launches + donation are the
+# measured-fastest single-chip configuration (benchmarks/README.md).
+FLAGSHIP_SOLVE_ARGS = [
+    "--n", "4000000", "--nev", "56", "--size-sub", "64",
+    "--chunk", "40", "--donate", "--reps", "2", "--check",
+]
+
+
+def _flagship_solve_line() -> str | None:
+    """Run the flagship solve benchmark in a subprocess; return its JSON
+    line, or None on any failure (the SpMM headline must survive a solve
+    OOM / relay kill)."""
+    import pathlib
+    import subprocess
+    import sys
+
+    script = pathlib.Path(__file__).resolve().parent / "benchmarks" / \
+        "solve_bdg.py"
+    try:
+        p = subprocess.run(
+            [sys.executable, str(script)] + FLAGSHIP_SOLVE_ARGS,
+            capture_output=True, text=True, timeout=2400,
+            cwd=str(script.parents[1]),
+        )
+    except (subprocess.TimeoutExpired, OSError):
+        return None
+    if p.returncode != 0:
+        return None
+    for line in reversed(p.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return line
+    return None
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     from lobpcg_tpu import Laplacian1D
+
+    # Flagship solve FIRST, in a subprocess, while this process holds no
+    # HBM buffers — the chip is single and the solve needs ~14 GB.  Its
+    # JSON line prints before the SpMM line so the LAST line remains the
+    # round-over-round headline metric.
+    if jax.default_backend() == "tpu":
+        solve_line = _flagship_solve_line()
+        if solve_line is not None:
+            print(solve_line, flush=True)
 
     n = 4_000_000  # reference headline problem dimension
     k = 256  # 150+ eigenpairs, lane-aligned for the Pallas stencil

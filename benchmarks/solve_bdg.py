@@ -79,6 +79,18 @@ def main() -> None:
     ap.add_argument("--no-ax-cache", action="store_true",
                     help="recompute A@X instead of carrying the cache "
                          "(lower peak HBM, one extra SpMM per iteration)")
+    ap.add_argument("--no-b-cache", action="store_true",
+                    help="re-apply B at every ortho/Gram site (the "
+                         "reference's behavior) instead of threading "
+                         "one B@X / B@P application per iteration")
+    ap.add_argument("--rr-dtype", default=None,
+                    help="Gram/RR math dtype (e.g. float64); default "
+                         "auto-escalates wide pencils per "
+                         "config.RR_WIDTH_ESCALATE")
+    ap.add_argument("--x64", action="store_true",
+                    help="enable jax_enable_x64 (required for float64 "
+                         "RR math; f64 works on the axon TPU, "
+                         "software-emulated speed)")
     ap.add_argument("--no-dual-basis", action="store_true",
                     help="compile out the quality=5 dual-basis branch "
                          "(saves an [n, ss] block of peak HBM; sound "
@@ -103,6 +115,9 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
+
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     from lobpcg_tpu import (
@@ -160,8 +175,10 @@ def main() -> None:
     cfg = SolverConfig(nev=nev, size_sub=ss, tol=args.tol,
                        max_iter=args.max_iter,
                        use_ax_cache=not args.no_ax_cache,
+                       use_b_cache=not args.no_b_cache,
                        dual_basis=not args.no_dual_basis,
-                       gram_precision=args.gram_precision)
+                       gram_precision=args.gram_precision,
+                       rr_dtype=args.rr_dtype)
 
     if args.realify:
         import jax as _jax
@@ -256,6 +273,9 @@ def main() -> None:
         "rr_failed": int(r.rr_fail_count),
         "dtype": ("complex128->split-real f32" if args.realify
                   else str(dtype)),
+        "gram_precision": args.gram_precision,
+        "b_cache": not args.no_b_cache,
+        "rr_dtype": str(cfg.resolved_rr_dtype(dtype)),
         "device": str(jax.devices()[0].device_kind),
     }
     if args.check:
