@@ -186,15 +186,48 @@ def b_mm(blocks, C: jax.Array) -> jax.Array:
     return out
 
 
+def herm_tile_gram(blocks, applied, out_dtype=None) -> jax.Array:
+    """G = S^H (Op S) assembled from UPPER-TRIANGLE tall contractions
+    only, mirroring the lower tiles as G_ji = G_ij^H — valid because Op
+    is Hermitian (the problem contract for both A and B).  For 3 blocks
+    this is 6 [m, n] x [n, m] MXU contractions instead of 9; at
+    Precision.HIGHEST (6 bf16 passes) the tall dots dominate the Gram
+    phases (~41% of an ilobpcg iteration, benchmarks/profile_solve.py),
+    so the triangle saves a third of that.  The reference's gram kernels
+    also exploit symmetry — via BLAS upper-triangle updates
+    (`src/gram/gram_impl.inc:49-67`); this is the block-tile analog.
+
+    ``applied[j]`` must be Op @ blocks[j].  Dead (zero) columns stay
+    exactly zero under mirroring, preserving the masking invariant.
+    """
+    nb = len(blocks)
+    tiles = [[None] * nb for _ in range(nb)]
+    for j in range(nb):
+        for i in range(j + 1):
+            tiles[i][j] = _hdot(blocks[i], applied[j], out_dtype)
+            if i != j:
+                tiles[j][i] = tiles[i][j].conj().T
+    return jnp.concatenate(
+        [jnp.concatenate(row, axis=1) for row in tiles], axis=0
+    )
+
+
 def gram_blocks(blocks, B: Optional[LinearOperator] = None,
                 out_dtype=None) -> jax.Array:
-    """G = S^H B S over column blocks: only one [n, m] B-application
-    transient is live at a time and S is never concatenated."""
-    cols = []
-    for b in blocks:
+    """G = S^H B S over column blocks (B Hermitian): only one [n, m]
+    B-application transient is live at a time, S is never concatenated,
+    and only upper-triangle tall contractions run (herm_tile_gram)."""
+    nb = len(blocks)
+    tiles = [[None] * nb for _ in range(nb)]
+    for j, b in enumerate(blocks):
         Bb = apply_block_op(B, b)
-        cols.append(bh_dot(blocks, Bb, out_dtype))
-    return jnp.concatenate(cols, axis=1)
+        for i in range(j + 1):
+            tiles[i][j] = _hdot(blocks[i], Bb, out_dtype)
+            if i != j:
+                tiles[j][i] = tiles[i][j].conj().T
+    return jnp.concatenate(
+        [jnp.concatenate(row, axis=1) for row in tiles], axis=0
+    )
 
 
 def gram_blocks_pre(blocks, Bblocks, out_dtype=None) -> jax.Array:
@@ -205,8 +238,7 @@ def gram_blocks_pre(blocks, Bblocks, out_dtype=None) -> jax.Array:
     contractions (the reference re-applies B here,
     `src/gram/gram_impl.inc:49-67` — at the measured 2M x 128 profile
     each [n, m] B application is ~9 ms, ~4% of the iteration)."""
-    cols = [bh_dot(blocks, Bb, out_dtype) for Bb in Bblocks]
-    return jnp.concatenate(cols, axis=1)
+    return herm_tile_gram(blocks, Bblocks, out_dtype)
 
 
 def scale_diag(G: jax.Array):

@@ -29,6 +29,7 @@ from lobpcg_tpu.ops.gram import (
     gram_blocks,
     gram_cross_mat,
     gram_self_mat,
+    herm_tile_gram,
     mm,
     ortho_err,
 )
@@ -225,10 +226,9 @@ def ortho_indefinite(
         if sig is None:
             # sig = V^H B V from the pre-applied blocks; dead V columns
             # give exactly-zero rows/cols, so the projector vanishes on
-            # them — no injection needed.
-            sig = jnp.concatenate(
-                [bh_dot(vb, Bb) for Bb in Bvb], axis=1
-            )
+            # them — no injection needed.  Upper-triangle assembly (B
+            # Hermitian): 3 tall dots instead of 4.
+            sig = herm_tile_gram(vb, Bvb)
         bv2 = sum(jnp.sum(jnp.abs(Bb) ** 2).real for Bb in Bvb)
         BV_norm = _guard(jnp.sqrt(bv2), eps_ortho)
     else:

@@ -28,8 +28,8 @@ from jax.scipy.linalg import solve_triangular
 
 from lobpcg_tpu.ops import masking
 from lobpcg_tpu.ops.gram import (
+    _hdot,
     as_blocks,
-    bh_dot,
     blocks_dtype,
     frob_norm,
     gram_blocks,
@@ -137,13 +137,21 @@ def _a_gram(blocks, AX, A, out_dtype=None):
     """G_A = S^H A S assembled per column block of S = [X | P | W];
     reuses the AX cache for the X block (`rayleigh_ritz_modified_impl.inc:
     71-78, 189-196`).  Only one [n, m] A-application transient is live at
-    a time and S is never concatenated.
+    a time, S is never concatenated, and only upper-triangle tall
+    contractions run (A Hermitian; see ops.gram.herm_tile_gram — the
+    lower tiles are mirrored, 6 MXU dots instead of 9).
     """
-    cols = []
-    for i, b in enumerate(blocks):
-        Ab = AX if (i == 0 and AX is not None) else A.matmat(b)
-        cols.append(bh_dot(blocks, Ab, out_dtype))
-    return jnp.concatenate(cols, axis=1)
+    nb = len(blocks)
+    tiles = [[None] * nb for _ in range(nb)]
+    for j, b in enumerate(blocks):
+        Ab = AX if (j == 0 and AX is not None) else A.matmat(b)
+        for i in range(j + 1):
+            tiles[i][j] = _hdot(blocks[i], Ab, out_dtype)
+            if i != j:
+                tiles[j][i] = tiles[i][j].conj().T
+    return jnp.concatenate(
+        [jnp.concatenate(row, axis=1) for row in tiles], axis=0
+    )
 
 
 def rayleigh_ritz_modified(
