@@ -72,6 +72,12 @@ EXPERIMENTS = [
     ("8a", "bsr_strip128", BSR + ["--strip", "128"], 2400),
     ("8b", "bsr_strip256", BSR + ["--strip", "256"], 2400),
     ("8c", "bsr_strip512", BSR + ["--strip", "512"], 2400),
+    # VERDICT r2 item 1c: re-measure the phase profile after the B-reuse
+    # and upper-triangle Gram changes (r2 table: ortho 35% + A-Gram 23%
+    # + B-Gram 18% at 2M x 128).
+    ("9", "phase_profile_2M128",
+     [sys.executable, str(REPO / "benchmarks" / "profile_solve.py"),
+      "--n", "2000000", "--ss", "128", "--reps", "6"], 2400),
 ]
 
 
