@@ -145,7 +145,6 @@ def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
             )
             Bblocks = (BX, BP, BW)
         else:
-            BX = None
             W, nw = ortho_indefinite(
                 W, nw, (c.X, c.P), m + np_act, B,
                 eps_ortho=eps_ortho, eps_drop=eps_drop,
@@ -205,9 +204,15 @@ def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
             # iteration's update is DISCARDED instead: keep the finite
             # X/eigenvalues, reset the momentum, and rebuild W from X so
             # the next iteration restarts from a clean [X, W] subspace.
+            # B is re-applied here rather than reusing the cached BX:
+            # referencing BX would keep it live across the whole
+            # project-back cond, raising peak HBM by one [n, m] block at
+            # its hottest point (measured +0.95 GB at 4M x 64,
+            # benchmarks/mem_analysis.py — the difference between fitting
+            # a 16 GB v5e and ResourceExhausted); one extra B apply on
+            # the rare failure path is the cheap side of that trade.
             Wres = get_residual(
                 c.X, c.AX if config.use_ax_cache else None, c.lam, A, B,
-                BX=BX,
             )
             return (c.X, jnp.zeros_like(c.P), c.AX, Wres, c.lam, c.sig)
 
