@@ -275,6 +275,8 @@ def main() -> None:
                   else str(dtype)),
         "gram_precision": args.gram_precision,
         "b_cache": not args.no_b_cache,
+        "ax_cache": not args.no_ax_cache,
+        "dual_basis": not args.no_dual_basis,
         "rr_dtype": str(cfg.resolved_rr_dtype(dtype)),
         "device": str(jax.devices()[0].device_kind),
     }
