@@ -93,7 +93,8 @@ def run_one(eid, label, argv, tmo, use_ladder) -> None:
                 print(f"    {ln[:160]}", flush=True)
             return
         oom = "RESOURCE_EXHAUSTED" in (p.stderr or "")
-        tail = (p.stderr or p.stdout).strip().splitlines()[-3:]
+        tail = [ln for ln in (p.stderr or p.stdout).strip().splitlines()
+                if ln.strip()][-8:]
         record({"experiment": eid, "label": label,
                 "error": f"rc={p.returncode}" + (" OOM" if oom else ""),
                 "tail": tail, "elapsed_s": elapsed, "extra": extra})

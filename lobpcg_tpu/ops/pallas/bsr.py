@@ -367,7 +367,7 @@ def bsr_window_matmat_pallas(
         grid=(ns,),
         in_specs=[
             pl.BlockSpec((1, strip, W), lambda s, lo: (s, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((strip, k), lambda s, lo: (s, 0)),
         scratch_shapes=[

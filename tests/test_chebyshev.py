@@ -48,7 +48,7 @@ def test_filter_positive_gains():
                         hi=jnp.float64(hi), degree=10)
     for k in (1, 5, 20, 75, 150):
         v = jnp.asarray(_eigvec(n, k)[:, None])
-        p_lam = float(np.asarray(v).T @ np.asarray(T.matmat(v)))
+        p_lam = float((np.asarray(v).T @ np.asarray(T.matmat(v))).item())
         assert p_lam > 0, (k, p_lam)
 
 
