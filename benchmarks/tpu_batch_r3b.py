@@ -43,6 +43,12 @@ EXPERIMENTS = [
               "--chunk", "40", "--donate", "--reps", "2", "--check"],
      2400, True),
     ("6ar", "cheb3_4M56", SOLVE + FLAG_4M + ["--cheb", "3"], 2400, True),
+    # Same-day plain-solve counterpart to the main batch's cheb3_2M120
+    # (relay wall-clock is only comparable within a session).
+    ("6bp", "plain_2M120",
+     SOLVE + ["--n", "2000000", "--nev", "120", "--size-sub", "128",
+              "--chunk", "40", "--donate", "--reps", "2", "--check"],
+     2400, False),
     ("3br", "flagship_1M150_gram_high_r4",
      SOLVE + FLAG_1M + ["--gram-precision", "high"], 3000, False),
     ("3cr", "flagship_1M150_highest_r4", SOLVE + FLAG_1M, 3000, False),

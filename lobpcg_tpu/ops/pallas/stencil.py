@@ -55,8 +55,15 @@ def _stencil_kernel(scale_smem, x_ref, halo_ref, o_ref, *, T: int):
     up = halo_ref[0, 0, :]  # row above the tile (zero at segment edge)
     dn = halo_ref[0, 1, :]  # row below the tile (zero at segment edge)
     row = jax.lax.broadcasted_iota(jnp.int32, (T, k), 0)
-    prev = jnp.where(row == 0, up[None, :], pltpu.roll(x, 1, axis=0))
-    nxt = jnp.where(row == T - 1, dn[None, :], pltpu.roll(x, T - 1, axis=0))
+    # Shifts as explicit i32 scalars: under jax_enable_x64 a Python int
+    # shift is traced as i64 and Mosaic rejects the resulting
+    # tpu.dynamic_rotate (observed compiling a ss-256 x64 solve).
+    prev = jnp.where(
+        row == 0, up[None, :], pltpu.roll(x, jnp.int32(1), axis=0)
+    )
+    nxt = jnp.where(
+        row == T - 1, dn[None, :], pltpu.roll(x, jnp.int32(T - 1), axis=0)
+    )
     c = scale_smem[0]
     o_ref[...] = c * (2.0 * x - prev - nxt)
 
