@@ -7,13 +7,16 @@ TPU solve separately at the flagship shape and prints a per-iteration
 phase table plus the fraction of the measured end-to-end iteration cost
 each phase explains — so kernel work can be prioritized by data.
 
-Phases (one ilobpcg iteration, AX cache on):
-  A_apply        A @ [n, ss] (stencil SpMM) — residual/AX + RR P,W grams
-  B_apply        B @ [n, ss] (antidiag swap)
-  gram_blocks    S^H B S over (X, P, W) blocks (full-precision MXU)
-  a_gram         S^H A S with AX cache (2 A-applies + 9 block dots)
+Phases (one ilobpcg iteration, AX + B caches on — the r3 data flow):
+  A_apply        A @ [n, ss] (stencil SpMM) — residual/AXn
+  B_apply        B @ [n, ss] (antidiag swap) — x2 for the BX/BP cache,
+                 x1 for the residual's B Xn
+  gram_blocks_pre  S^H (B S) from pre-applied blocks (6 upper-triangle
+                 MXU dots, zero operator applications)
+  a_gram         S^H A S with AX cache (2 A-applies + 6 triangle dots)
   project_back   [X, P] = S [Cx | Cp] (2 tall GEMMs)
-  ortho_pass     one ortho_indefinite outer pass (projection + svqb)
+  ortho_pass     one ortho_indefinite outer pass with Bvb supplied
+                 (projection via (BV)^H U + svqb; seed + inner B-applies)
   pencil_eig     KPS reduction + eigh on the (3 ss) x (3 ss) pencil
 
 Usage: python benchmarks/profile_solve.py [--n 4000000] [--ss 128]
@@ -50,7 +53,7 @@ def main() -> None:
         DiagonalOperator,
         Laplacian1D,
     )
-    from lobpcg_tpu.ops.gram import b_mm, gram_blocks
+    from lobpcg_tpu.ops.gram import b_mm, gram_blocks_pre
     from lobpcg_tpu.ops.ortho import ortho_indefinite
     from lobpcg_tpu.ops.pencil import pencil_eig_cholesky
     from lobpcg_tpu.ops.rayleigh import _a_gram
@@ -87,8 +90,10 @@ def main() -> None:
     phases = {
         "A_apply": jax.jit(lambda X: A.matmat(X)),
         "B_apply": jax.jit(lambda X: B.matmat(X)),
-        "gram_blocks": jax.jit(
-            lambda X, P, W: gram_blocks((X, P, W), B)
+        "gram_blocks_pre": jax.jit(
+            lambda X, P, W, BX, BP, BW: gram_blocks_pre(
+                (X, P, W), (BX, BP, BW)
+            )
         ),
         "a_gram": jax.jit(
             lambda X, P, W, AX: _a_gram((X, P, W), AX, A)
@@ -97,22 +102,24 @@ def main() -> None:
             lambda X, P, W, C: (b_mm((X, P, W), C), b_mm((X, P, W), C))
         ),
         "ortho_pass": jax.jit(
-            lambda W, X, P: ortho_indefinite(
+            lambda W, X, P, BX, BP: ortho_indefinite(
                 W, ss, (X, P), 2 * ss, B,
                 eps_ortho=1e-5, eps_drop=1e-5, max_outer=1, max_inner=1,
+                Bvb=(BX, BP),
             )[0]
         ),
         "pencil_eig": jax.jit(
             lambda GA, GB: pencil_eig_cholesky(GA, GB, 1e-20)[:2]
         ),
     }
+    BX, BP, BW = B.matmat(X), B.matmat(P), B.matmat(W)
     phase_args = {
         "A_apply": (X,),
         "B_apply": (X,),
-        "gram_blocks": (X, P, W),
+        "gram_blocks_pre": (X, P, W, BX, BP, BW),
         "a_gram": (X, P, W, AX),
         "project_back": (X, P, W, C),
-        "ortho_pass": (W, X, P),
+        "ortho_pass": (W, X, P, BX, BP),
         "pencil_eig": (GA, GB),
     }
 
@@ -138,17 +145,20 @@ def main() -> None:
         table[name] = timed(f, phase_args[name], args.reps) * 1e3
         print(f"# {name}: {table[name]:.2f} ms", flush=True)
 
-    # Per-iteration cost model (AX cache on, good-quality path):
-    #   RR: a_gram (includes 2 A-applies) + gram_blocks + pencil_eig
-    #   projection: project_back (Xn and Pn)
-    #   residual: A_apply (AXn) + B_apply + elementwise
+    # Per-iteration cost model (AX + B caches on, good-quality path):
+    #   cache: 2 B-applies (BX, BP) feed ortho + B-Gram
     #   ortho: ~1 ortho_indefinite outer pass (typ. converges in 1)
+    #   RR: a_gram (includes 2 A-applies) + gram_blocks_pre + pencil_eig
+    #   projection: project_back (Xn and Pn)
+    #   residual: A_apply (AXn) + B_apply (B Xn) + elementwise
     model_ms = (
-        table["a_gram"] + table["gram_blocks"] + table["pencil_eig"]
-        + table["project_back"] + table["A_apply"] + table["B_apply"]
+        table["a_gram"] + table["gram_blocks_pre"] + table["pencil_eig"]
+        + table["project_back"] + table["A_apply"] + 3 * table["B_apply"]
         + table["ortho_pass"]
     )
-    fractions = {k: round(v / model_ms, 3) for k, v in table.items()}
+    contribs = dict(table)
+    contribs["B_apply"] *= 3  # 2 cache applies + 1 residual apply
+    fractions = {k: round(v / model_ms, 3) for k, v in contribs.items()}
     print(json.dumps({
         "metric": "ilobpcg_phase_profile",
         "value": model_ms,
