@@ -32,16 +32,17 @@ FLAG_1M = ["--n", "1000000", "--nev", "150", "--size-sub", "164",
 
 LADDER = [[], ["--no-dual-basis"], ["--no-dual-basis", "--no-ax-cache"]]
 
+# Ordered most-valuable-first: the relay's grant comes and goes (a
+# 20 GiB probe can precede an OOM an hour later), so the flagship
+# comparisons run while the window is open.
 EXPERIMENTS = [
     ("2r", "flagship_4M56_default", SOLVE + FLAG_4M, 2400, True),
-    ("3ar", "flagship_4M56_gram_high",
-     SOLVE + FLAG_4M + ["--gram-precision", "high"], 2400, True),
-    ("4r", "flagship_4M56_no_b_cache",
-     SOLVE + FLAG_4M + ["--no-b-cache"], 2400, True),
     ("5r", "flagship_4M56_ss128",
      SOLVE + ["--n", "4000000", "--nev", "56", "--size-sub", "128",
               "--chunk", "40", "--donate", "--reps", "2", "--check"],
      2400, True),
+    ("3ar", "flagship_4M56_gram_high",
+     SOLVE + FLAG_4M + ["--gram-precision", "high"], 2400, True),
     ("6ar", "cheb3_4M56", SOLVE + FLAG_4M + ["--cheb", "3"], 2400, True),
     # Same-day plain-solve counterpart to the main batch's cheb3_2M120
     # (relay wall-clock is only comparable within a session).
@@ -49,6 +50,15 @@ EXPERIMENTS = [
      SOLVE + ["--n", "2000000", "--nev", "120", "--size-sub", "128",
               "--chunk", "40", "--donate", "--reps", "2", "--check"],
      2400, False),
+    ("4r", "flagship_4M56_no_b_cache",
+     SOLVE + FLAG_4M + ["--no-b-cache"], 2400, True),
+    # Rerun of the main batch's experiment 7 after the stencil kernel's
+    # i32 roll-shift fix (x64 solves lowered an i64 dynamic_rotate that
+    # Mosaic rejected).
+    ("7r", "1M150_ss256_x64_escalated",
+     SOLVE + ["--n", "1000000", "--nev", "150", "--size-sub", "256",
+              "--chunk", "10", "--donate", "--reps", "1", "--check",
+              "--x64"], 3600, False),
     ("3br", "flagship_1M150_gram_high_r4",
      SOLVE + FLAG_1M + ["--gram-precision", "high"], 3000, False),
     ("3cr", "flagship_1M150_highest_r4", SOLVE + FLAG_1M, 3000, False),

@@ -107,11 +107,21 @@ class BSROperator(LinearOperator):
         # Build the strip-window fast path when the matrix is windowable:
         # padding every strip to the max column span must not blow up
         # storage (cap the window chunks at ~4x the ELL bytes).
+        # strip ~256: the r3 strip sweep (benchmarks/results_r3.jsonl
+        # 8a-c) measured 256-row strips 6.5% faster than 128 at the
+        # banded 1M/bs=8/k=128 shape — halving the ~1 us/grid-step
+        # overhead beats the wider window's extra bytes; 512 loses.
+        # The strip must be a block-row multiple (the converter and the
+        # kernel slice whole blocks), so round 256 up to one for block
+        # sizes that don't divide it (e.g. 24 -> 264).
         win_lo = win_vals = None
-        Wb = bsr_window_widths(cols, blocks)
+        strip = block_size * (-(-256 // block_size))
+        Wb = bsr_window_widths(cols, blocks, strip=strip)
         nb, R = cols.shape
         if Wb * block_size <= 4096 and Wb <= 4 * R + 16:
-            lo, wv = ell_to_strip_window(cols, blocks.astype(dtype))
+            lo, wv = ell_to_strip_window(
+                cols, blocks.astype(dtype), strip=strip
+            )
             win_lo = jnp.asarray(lo)
             win_vals = jnp.asarray(wv, dtype)
         return cls(
