@@ -134,16 +134,22 @@ FLAGSHIP_SOLVE_ARGS = [
 
 # Peak-HBM fallback ladder (benchmarks/mem_analysis.py, 4M x 64 f32):
 # default 14.34 GB -> --no-dual-basis 11.48 GB -> + --no-ax-cache
-# 10.5 GB.  The remote chip's *available* HBM varies with relay state
-# (a peak that fit in round 2 hit ResourceExhausted in round 3), so the
-# solve line degrades through configs that are algorithmically sound
-# for the BdG workload (B = antidiag(I, I) is perfectly conditioned, so
-# the dual-basis branch never fires; ax-cache off costs one SpMM/iter)
-# rather than vanishing.  The JSON line records which knobs ran.
+# 10.5 GB -> + --no-b-cache (the b-cache's carried [4M, 64] blocks are
+# lane-padded to 128 on the TPU, so its REAL peak cost is ~2x the
+# CPU-backend nominal; dropping it recovers the round-2 configuration
+# that measured 33.3 s in 16 GB).  The remote chip's *available* HBM
+# varies with relay state (a peak that fit in round 2 hit
+# ResourceExhausted in round 3), so the solve line degrades through
+# configs that are algorithmically sound for the BdG workload
+# (B = antidiag(I, I) is perfectly conditioned, so the dual-basis
+# branch never fires; ax-cache/b-cache off cost one extra SpMM /
+# B-apply per iteration) rather than vanishing.  The JSON line records
+# which knobs ran.
 FLAGSHIP_FALLBACKS = [
     [],
     ["--no-dual-basis"],
     ["--no-dual-basis", "--no-ax-cache"],
+    ["--no-dual-basis", "--no-ax-cache", "--no-b-cache"],
 ]
 
 

@@ -30,13 +30,22 @@ FLAG_4M = ["--n", "4000000", "--nev", "56", "--size-sub", "64",
 FLAG_1M = ["--n", "1000000", "--nev", "150", "--size-sub", "164",
            "--chunk", "40", "--donate", "--reps", "4", "--check"]
 
-LADDER = [[], ["--no-dual-basis"], ["--no-dual-basis", "--no-ax-cache"]]
+# The final rung drops the b-cache too: its three carried [4M, 64]
+# blocks are lane-padded to 128 on the TPU (CLAUDE.md), so its REAL
+# peak cost at ss=64 is ~2x the CPU-backend nominal delta — and it is
+# the one r3 default the round-2 33.3 s run did not carry.
+LADDER = [[], ["--no-dual-basis"], ["--no-dual-basis", "--no-ax-cache"],
+          ["--no-dual-basis", "--no-ax-cache", "--no-b-cache"]]
 
 # Ordered most-valuable-first: the relay's grant comes and goes (a
 # 20 GiB probe can precede an OOM an hour later), so the flagship
 # comparisons run while the window is open.
 EXPERIMENTS = [
     ("2r", "flagship_4M56_default", SOLVE + FLAG_4M, 2400, True),
+    # Early: if default OOMs but this fits, the b-cache's lane-padded
+    # TPU cost is the regression (it is the one new-in-r3 default).
+    ("4r", "flagship_4M56_no_b_cache",
+     SOLVE + FLAG_4M + ["--no-b-cache"], 2400, True),
     ("5r", "flagship_4M56_ss128",
      SOLVE + ["--n", "4000000", "--nev", "56", "--size-sub", "128",
               "--chunk", "40", "--donate", "--reps", "2", "--check"],
@@ -50,8 +59,6 @@ EXPERIMENTS = [
      SOLVE + ["--n", "2000000", "--nev", "120", "--size-sub", "128",
               "--chunk", "40", "--donate", "--reps", "2", "--check"],
      2400, False),
-    ("4r", "flagship_4M56_no_b_cache",
-     SOLVE + FLAG_4M + ["--no-b-cache"], 2400, True),
     # Rerun of the main batch's experiment 7 after the stencil kernel's
     # i32 roll-shift fix (x64 solves lowered an i64 dynamic_rotate that
     # Mosaic rejected).
