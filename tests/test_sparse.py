@@ -175,7 +175,7 @@ def test_bsr_operator_carries_window_format():
     op = BSROperator.from_dense(M.toarray(), block_size=8,
                                 dtype=jnp.float32)
     assert op.win_lo is not None and op.win_vals is not None
-    assert op.win_vals.shape[1] == 128
+    assert op.win_vals.shape[1] == 256  # default strip (r3 sweep)
 
 
 def test_strip_window_interpret_matches_reference():
@@ -203,3 +203,29 @@ def test_strip_window_interpret_matches_reference():
         np.testing.assert_allclose(
             np.asarray(Y), np.asarray(Y_ref), rtol=1e-5, atol=1e-4
         )
+
+
+@pytest.mark.parametrize("bs", [8, 24, 64])
+def test_bsr_strip_rounds_to_block_multiple(bs):
+    """The window strip defaults to ~256 rows rounded UP to a block-row
+    multiple; block sizes that don't divide 256 (bs=24 -> strip 264)
+    must still construct and match dense (regression: ell_to_strip_window
+    raised `block size must divide strip` for bs=24)."""
+    rng = np.random.RandomState(bs)
+    nb = 24
+    n = nb * bs
+    dense = np.zeros((n, n))
+    for i in range(nb):
+        for j in range(max(0, i - 2), min(nb, i + 3)):
+            dense[i * bs:(i + 1) * bs, j * bs:(j + 1) * bs] = rng.randn(
+                bs, bs)
+    dense = dense + dense.T + 10 * np.eye(n)
+    op = BSROperator.from_dense(jnp.asarray(dense), block_size=bs,
+                                dtype=jnp.float64)
+    if op.win_vals is not None:
+        strip = op.win_vals.shape[1]
+        assert strip % bs == 0 and strip >= 256
+    X = jnp.asarray(rng.randn(n, 8))
+    ref = dense @ np.asarray(X)
+    np.testing.assert_allclose(np.asarray(op.matmat(X)), ref,
+                               rtol=1e-12, atol=1e-9 * np.abs(ref).max())
