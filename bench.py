@@ -150,6 +150,11 @@ FLAGSHIP_FALLBACKS = [
     ["--no-dual-basis"],
     ["--no-dual-basis", "--no-ax-cache"],
     ["--no-dual-basis", "--no-ax-cache", "--no-b-cache"],
+    # Last resort when the relay's grant is below every dim-4M peak
+    # (observed: a session where nominal-10.5 GB configs OOM on the
+    # 16 GB chip): report the half-dim solve rather than nothing.  The
+    # JSON line's "n" field keeps the metric honest.
+    ["--half-dim", "--no-dual-basis", "--no-ax-cache", "--no-b-cache"],
 ]
 
 
@@ -164,9 +169,13 @@ def _flagship_solve_line() -> str | None:
     script = pathlib.Path(__file__).resolve().parent / "benchmarks" / \
         "solve_bdg.py"
     for extra in FLAGSHIP_FALLBACKS:
+        args = list(FLAGSHIP_SOLVE_ARGS)
+        if "--half-dim" in extra:
+            extra = [e for e in extra if e != "--half-dim"]
+            args[args.index("--n") + 1] = "2000000"
         try:
             p = subprocess.run(
-                [sys.executable, str(script)] + FLAGSHIP_SOLVE_ARGS + extra,
+                [sys.executable, str(script)] + args + extra,
                 capture_output=True, text=True, timeout=2400,
                 cwd=str(script.parents[1]),
             )
