@@ -145,16 +145,20 @@ FLAGSHIP_SOLVE_ARGS = [
 # branch never fires; ax-cache/b-cache off cost one extra SpMM /
 # B-apply per iteration) rather than vanishing.  The JSON line records
 # which knobs ran.
+# Rung order follows the measured fitting boundary (results_r3.jsonl
+# 2r/4r ladders, a shrunken-grant session): with b-cache ON no 4M
+# configuration fit — its three carried [4M, 64] blocks cost far more
+# real HBM than the CPU-backend nominal parity suggests — while
+# b-cache off + dual-basis off fit WITH the ax-cache (41.6 s) and was
+# faster than dropping the ax-cache too (44.6 s).
 FLAGSHIP_FALLBACKS = [
     [],
-    ["--no-dual-basis"],
-    ["--no-dual-basis", "--no-ax-cache"],
-    ["--no-dual-basis", "--no-ax-cache", "--no-b-cache"],
-    # Last resort when the relay's grant is below every dim-4M peak
-    # (observed: a session where nominal-10.5 GB configs OOM on the
-    # 16 GB chip): report the half-dim solve rather than nothing.  The
-    # JSON line's "n" field keeps the metric honest.
-    ["--half-dim", "--no-dual-basis", "--no-ax-cache", "--no-b-cache"],
+    ["--no-b-cache", "--no-dual-basis"],
+    ["--no-b-cache", "--no-dual-basis", "--no-ax-cache"],
+    # Last resort when the relay's grant is below every dim-4M peak:
+    # report the half-dim solve rather than nothing.  The JSON line's
+    # "n" field keeps the metric honest.
+    ["--half-dim", "--no-b-cache", "--no-dual-basis", "--no-ax-cache"],
 ]
 
 
