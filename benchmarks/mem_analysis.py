@@ -88,6 +88,10 @@ def main():
     ap.add_argument("--compare", default="b_cache",
                     choices=("b_cache", "ax_cache", "dual_basis", "none"),
                     help="knob to toggle; 'none' analyzes defaults only")
+    ap.add_argument("--config-json", default=None,
+                    help="JSON dict of SolverConfig kwargs to analyze "
+                         "(overrides --compare), e.g. "
+                         '\'{"use_b_cache": false, "dual_basis": false}\'')
     args = ap.parse_args()
 
     import jax
@@ -96,7 +100,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     configs = [{}]
-    if args.compare != "none":
+    if args.config_json is not None:
+        configs = [json.loads(args.config_json)]
+    elif args.compare != "none":
         key = {"b_cache": "use_b_cache", "ax_cache": "use_ax_cache",
                "dual_basis": "dual_basis"}[args.compare]
         configs = [{key: True}, {key: False}]
