@@ -186,7 +186,11 @@ def _flagship_solve_line() -> str | None:
         except (subprocess.TimeoutExpired, OSError):
             return None
         if p.returncode != 0:
-            if "RESOURCE_EXHAUSTED" in (p.stderr or ""):
+            # Runtime OOM says RESOURCE_EXHAUSTED; an unallocatable
+            # program prints an XLA allocation dump instead.
+            if any(s in (p.stderr or "") for s in
+                   ("RESOURCE_EXHAUSTED", "Largest program allocations",
+                    "exceeds the limit in memory space")):
                 continue  # try the next-lower-memory configuration
             return None
         for line in reversed(p.stdout.strip().splitlines()):

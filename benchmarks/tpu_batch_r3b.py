@@ -115,7 +115,12 @@ def run_one(eid, label, argv, tmo, use_ladder) -> None:
                 record(obj)
                 print(f"    {ln[:160]}", flush=True)
             return
-        oom = "RESOURCE_EXHAUSTED" in (p.stderr or "")
+        # Runtime OOM says RESOURCE_EXHAUSTED; a program too big to even
+        # allocate reports an XLA allocation dump instead (observed for
+        # 4M x 128: "Largest program allocations" + HLO temp table).
+        oom = any(s in (p.stderr or "") for s in
+                  ("RESOURCE_EXHAUSTED", "Largest program allocations",
+                   "exceeds the limit in memory space"))
         tail = [ln for ln in (p.stderr or p.stdout).strip().splitlines()
                 if ln.strip()][-8:]
         record({"experiment": eid, "label": label,
