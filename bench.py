@@ -125,11 +125,15 @@ def _copy_fn(n: int, k: int, tile: int = 2048):
 
 # Flagship end-to-end solve reported as a second JSON line (first in
 # print order; the LAST line stays the headline SpMM metric for
-# round-over-round comparability).  Chunked launches + donation are the
-# measured-fastest single-chip configuration (benchmarks/README.md).
+# round-over-round comparability).  Measured-fastest single-chip
+# configuration (results_r3.jsonl, same-session ladders): chunked
+# launches + donation (r2), degree-3 Chebyshev (36 vs 77 iterations,
+# 28.4 vs 44.6 s cache-less) and bf16_3x Gram contractions (-8.5%
+# same-iteration wall-clock, max rel err 3.1e-6 << tol-implied bound).
 FLAGSHIP_SOLVE_ARGS = [
     "--n", "4000000", "--nev", "56", "--size-sub", "64",
     "--chunk", "40", "--donate", "--reps", "2", "--check",
+    "--cheb", "3", "--gram-precision", "high",
 ]
 
 # Peak-HBM fallback ladder (benchmarks/mem_analysis.py, 4M x 64 f32):
