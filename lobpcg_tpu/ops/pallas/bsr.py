@@ -32,8 +32,15 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Index-map components must be concrete i32: under jax_enable_x64 a
+# Python int literal in an index map is traced as i64 and Mosaic fails
+# to legalize the transform function's func.return (see
+# ops/pallas/stencil.py, observed compiling an x64 solve).
+_Z = np.int32(0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -58,14 +65,14 @@ def bsr_matmat_pallas(
         in_specs=[
             pl.BlockSpec(
                 (1, 1, bs, bs),
-                lambda i, r, cols: (i, r, 0, 0),
+                lambda i, r, cols: (i, r, _Z, _Z),
             ),
             pl.BlockSpec(
                 (bs, k),
-                lambda i, r, cols: (cols[i * R + r], 0),
+                lambda i, r, cols: (cols[i * R + r], _Z),
             ),
         ],
-        out_specs=pl.BlockSpec((bs, k), lambda i, r, cols: (i, 0)),
+        out_specs=pl.BlockSpec((bs, k), lambda i, r, cols: (i, _Z)),
         scratch_shapes=[pltpu.VMEM((bs, k), jnp.float32)],
     )
 
@@ -197,14 +204,14 @@ def bsr_strip_matmat_pallas(
         in_specs=[
             # Whole strip chunk, constant over r: fetched once per strip.
             pl.BlockSpec(
-                (1, strip, Rs * bs), lambda s, r, cols: (s, 0, 0)
+                (1, strip, Rs * bs), lambda s, r, cols: (s, _Z, _Z)
             ),
             # One [bs, k] X block row per step, gathered by union index.
             pl.BlockSpec(
-                (bs, k), lambda s, r, cols: (cols[s * Rs + r], 0)
+                (bs, k), lambda s, r, cols: (cols[s * Rs + r], _Z)
             ),
         ],
-        out_specs=pl.BlockSpec((strip, k), lambda s, r, cols: (s, 0)),
+        out_specs=pl.BlockSpec((strip, k), lambda s, r, cols: (s, _Z)),
         scratch_shapes=[pltpu.VMEM((Rs * bs, k), jnp.float32)],
     )
 
@@ -361,15 +368,18 @@ def bsr_window_matmat_pallas(
     buffered DMA of the window's X rows and one MXU contraction."""
     ns, strip, W = win_vals.shape
     n, k = X.shape
+    # i32 prefetch indices: under jax_enable_x64 an i64 `lo` makes the
+    # DMA's memref_slice offset i64, which Mosaic rejects.
+    lo = lo.astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ns,),
         in_specs=[
-            pl.BlockSpec((1, strip, W), lambda s, lo: (s, 0, 0)),
+            pl.BlockSpec((1, strip, W), lambda s, lo: (s, _Z, _Z)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((strip, k), lambda s, lo: (s, 0)),
+        out_specs=pl.BlockSpec((strip, k), lambda s, lo: (s, _Z)),
         scratch_shapes=[
             pltpu.VMEM((2, W, k), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -381,14 +391,22 @@ def bsr_window_matmat_pallas(
         ns_ = pl.num_programs(0)
 
         def gather(slot, si):
-            start = pl.multiple_of(lo_ref[si] * bs, bs)
+            # All-i32 index arithmetic: under jax_enable_x64 any weak
+            # Python-int component here becomes an i64 memref_slice
+            # offset, which Mosaic rejects.
+            start = pl.multiple_of(
+                lo_ref[si] * np.int32(bs), bs
+            )
             return pltpu.make_async_copy(
-                x_hbm.at[pl.ds(start, W), :], xg.at[slot], sems.at[slot]
+                x_hbm.at[pl.ds(start, W), pl.ds(np.int32(0), k)],
+                xg.at[slot], sems.at[slot]
             )
 
         @pl.when(s == 0)
         def _():
-            gather(0, 0).start()
+            # np.int32 literals: Python-int indices into lo_ref trace
+            # as i64 memref_slice offsets under jax_enable_x64.
+            gather(np.int32(0), np.int32(0)).start()
 
         @pl.when(s + 1 < ns_)
         def _():

@@ -105,16 +105,26 @@ def stencil_matmat_pallas(
         axis=1,
     )
 
+    # Index maps return explicit i32 (a concrete numpy scalar — a traced
+    # constant is rejected as a capture): under jax_enable_x64 a Python
+    # int component is traced as i64 and Mosaic fails to legalize the
+    # index function's func.return (observed compiling an x64 solve).
+    import numpy as np
+
+    z = np.int32(0)
     scale_arr = jnp.asarray([scale], X.dtype)
     return pl.pallas_call(
         functools.partial(_stencil_kernel, T=T),
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((T, k), lambda i: (i, 0)),
-            pl.BlockSpec((1, 2, k), lambda i: (i, 0, 0)),
+            # Explicit index map also here: the auto-generated map for a
+            # bare SMEM spec returns a 0 : i64 under x64 (transform_0 in
+            # the Mosaic dump) and fails legalization the same way.
+            pl.BlockSpec((1,), lambda i: (z,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((T, k), lambda i: (i, z)),
+            pl.BlockSpec((1, 2, k), lambda i: (i, z, z)),
         ],
-        out_specs=pl.BlockSpec((T, k), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((T, k), lambda i: (i, z)),
         out_shape=jax.ShapeDtypeStruct((n, k), X.dtype),
     )(scale_arr, X, halo)
 

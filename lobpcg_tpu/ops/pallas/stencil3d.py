@@ -29,6 +29,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -208,7 +209,11 @@ def _kernel(scale_smem, x_hbm, o_hbm, *, nx: int, ny: int, nz: int,
             out_dma(t).start()
             return ()
 
-        jax.lax.fori_loop(0, T, body, (), unroll=False)
+        # i32 bounds: under jax_enable_x64 Python-int bounds make the
+        # loop index i64, and the kernel's i64->i32 conversions hit a
+        # RecursionError in the Mosaic lowering (observed x64 compile).
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(T), body, (),
+                          unroll=False)
 
         @pl.when(T >= 2)
         def _():
@@ -253,7 +258,11 @@ def stencil3d_matmat_pallas(
             _kernel, nx=nx, ny=ny, nz=nz, k=k, By=By
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # Explicit i32 index map: the auto-generated map for a bare
+            # SMEM spec returns 0 : i64 under jax_enable_x64 and Mosaic
+            # fails to legalize it (see ops/pallas/stencil.py).
+            pl.BlockSpec((1,), lambda: (np.int32(0),),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
