@@ -43,6 +43,11 @@ from lobpcg_tpu.utils.checkpoint import (
     save_checkpoint,
     solve_checkpointed,
 )
+from lobpcg_tpu.utils.plan import (
+    estimate_peak_gb,
+    plan_config,
+    probe_hbm_gb,
+)
 
 # The reference exposes `klobpcg` as a pure alias of the standard solver
 # (`/root/reference/lobpcg.h:561-580`; a separate klobpcg main loop was
@@ -78,6 +83,9 @@ __all__ = [
     "save_checkpoint",
     "load_checkpoint",
     "solve_checkpointed",
+    "estimate_peak_gb",
+    "plan_config",
+    "probe_hbm_gb",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,152 @@
+"""HBM-aware solve planning: estimate a solve's device peak memory and
+fit the fastest SolverConfig inside a budget.
+
+Why this exists: the solver's three memory/speed knobs (`dual_basis`,
+`use_b_cache`, `use_ax_cache`) interact with XLA buffer liveness in ways
+a CPU-backend estimate mispredicts — measured on the chip, the b-cache
+is nominal-free on CPU yet co-determines the TPU peak — and the
+remote-relay chip's *available* HBM varies session to session (a probe
+granting 20 GiB was followed minutes later by a 14.4 GB program
+ResourceExhausted; twenty separate 1 GiB buffers are not one program's
+temp arena).  So planning uses TPU-compiled peaks, measured via
+``benchmarks/mem_analysis.py --tpu`` (XLA memory analysis of the real
+compiled ilobpcg program), and a conservative default budget.
+
+Measured anchors (v5e, dim 4M x size_sub 64 f32, chunked + donated
+ilobpcg — benchmarks/results_r3.jsonl mem_*):
+
+    dual_basis  b_cache  ax_cache   peak (GiB)  blocks of n*ss*4B
+    on          on       on         16.31       17.10  <- exceeds 16 GB!
+    on          off      on         16.31       17.10  (dual branch
+                                                        dominates: both
+                                                        lax.cond branches
+                                                        count)
+    off         on       on         14.39       15.09
+    off         off      on         10.58       11.09
+    off         off      off         8.67        9.09
+
+The fit ladder mirrors the measured speed order at the 4M flagship
+(results_r3.jsonl 2r/3ar/4r, same session): full config fastest when it
+fits; then b-cache+dual off WITH the ax-cache (41.6 s); then all off
+(44.6 s).
+
+Reference context: the reference sizes its workspace exactly and
+mallocs once (`/root/reference/lobpcg.h:586-686`); on TPU the analog is
+choosing compile-time knobs so XLA's arena fits the grant.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+# Peak in units of one [n, size_sub] operator-dtype block, keyed by
+# (dual_basis, use_b_cache, use_ax_cache).  Measured points above;
+# unmeasured combinations are filled conservatively (dual_basis on
+# pins the peak at the dual branch's 15.94; ax-cache off saves the
+# ~1.86-block delta measured at (off, off, *)).
+PEAK_BLOCKS_TPU = {
+    (True, True, True): 17.10,
+    (True, False, True): 17.10,
+    (True, True, False): 17.10,
+    (True, False, False): 17.10,
+    (False, True, True): 15.09,
+    (False, True, False): 13.09,  # interpolated: 15.09 - ax delta
+    (False, False, True): 11.09,
+    (False, False, False): 9.09,
+}
+
+# The grant to assume when none is given: v5e chips have 16 GB, but the
+# observed per-program usable ceiling on the shared relay sits lower
+# (a 14.39 GB program OOM'd; a 10.58 GB one ran — results_r3.jsonl).
+DEFAULT_BUDGET_GB = 12.0
+
+# Knob combinations in measured wall-clock order (fastest first) at the
+# 4M x 56 flagship; each entry overrides SolverConfig fields.
+_LADDER = (
+    {},
+    {"use_b_cache": False, "dual_basis": False},
+    {"use_b_cache": False, "dual_basis": False, "use_ax_cache": False},
+)
+
+
+def estimate_peak_gb(n: int, size_sub: int, dtype, config) -> float:
+    """TPU-compiled peak estimate for an ilobpcg/lobpcg solve.
+
+    Scales the measured 4M x 64 f32 anchors by the block size
+    n * size_sub * itemsize.  k x k Gram/RR scratch is negligible
+    (< 20 MB at size_sub 256) and not modeled; rr_dtype='float64' adds
+    only k x k-scale buffers.  Accuracy is what the anchors give:
+    exact at the measured corner, proportional elsewhere — use a
+    margin, don't run at 99% of a grant.
+    """
+    key = (bool(config.dual_basis), bool(config.use_b_cache),
+           bool(config.use_ax_cache))
+    block_gb = n * size_sub * np.dtype(dtype).itemsize / (1 << 30)
+    return PEAK_BLOCKS_TPU[key] * block_gb
+
+
+def plan_config(
+    config,
+    n: int,
+    dtype=np.float32,
+    *,
+    hbm_gb: Optional[float] = None,
+    margin: float = 0.95,
+):
+    """Return the fastest-known variant of `config` whose estimated
+    peak fits ``margin * hbm_gb``, walking the measured speed ladder
+    (full -> b-cache+dual off -> + ax-cache off).
+
+    Knobs the caller already disabled stay disabled.  Raises
+    ``ValueError`` if even the leanest configuration does not fit —
+    the problem needs a sharded multi-chip mesh (``lobpcg_tpu.parallel``)
+    or a smaller subspace, not a doomed launch.
+    """
+    budget = margin * (DEFAULT_BUDGET_GB if hbm_gb is None else hbm_gb)
+    for rung in _LADDER:
+        # Never re-enable a knob the caller turned off.
+        kw = dict(rung)
+        for field in ("use_b_cache", "dual_basis", "use_ax_cache"):
+            if not getattr(config, field):
+                kw[field] = False
+        cand = dataclasses.replace(config, **kw)
+        if estimate_peak_gb(n, config.size_sub, dtype, cand) <= budget:
+            return cand
+    raise ValueError(
+        f"no single-chip configuration fits: dim {n} x size_sub "
+        f"{config.size_sub} needs >= "
+        f"{estimate_peak_gb(n, config.size_sub, dtype, cand):.2f} GB "
+        f"(budget {budget:.2f} GB). Shard the problem over a mesh "
+        f"(lobpcg_tpu.parallel.shard_problem) or shrink size_sub."
+    )
+
+
+def probe_hbm_gb(step_gb: float = 1.0, max_gb: float = 31.0) -> float:
+    """Allocate device buffers until failure and return the granted
+    total (buffers are freed before returning).
+
+    CAUTION: this measures allocatable *fragments*, not one program's
+    contiguous arena — on the shared relay a 20 GiB probe preceded a
+    14.4 GB program OOM by minutes.  Treat the result as an upper
+    bound; plan against DEFAULT_BUDGET_GB unless the chip is dedicated.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    step = int(step_gb * (1 << 28))  # f32 elements per step
+    bufs, granted = [], 0.0
+    try:
+        while granted < max_gb:
+            b = jax.device_put(jnp.zeros((step,), jnp.float32), dev)
+            b.block_until_ready()
+            bufs.append(b)
+            granted += step_gb
+    except Exception:  # noqa: BLE001 - any backend error ends the probe
+        pass
+    finally:
+        del bufs
+    return granted
