@@ -136,15 +136,12 @@ FLAGSHIP_SOLVE_ARGS = [
     "--cheb", "3", "--gram-precision", "high",
 ]
 
-# Peak-HBM fallback ladder (benchmarks/mem_analysis.py, 4M x 64 f32):
-# default 14.34 GB -> --no-dual-basis 11.48 GB -> + --no-ax-cache
-# 10.5 GB -> + --no-b-cache (the b-cache's carried [4M, 64] blocks are
-# lane-padded to 128 on the TPU, so its REAL peak cost is ~2x the
-# CPU-backend nominal; dropping it recovers the round-2 configuration
-# that measured 33.3 s in 16 GB).  The remote chip's *available* HBM
-# varies with relay state (a peak that fit in round 2 hit
-# ResourceExhausted in round 3), so the solve line degrades through
-# configs that are algorithmically sound for the BdG workload
+# Peak-HBM fallback ladder (TPU-compiled peaks, benchmarks/
+# mem_analysis.py --tpu, 4M x 64 f32): --no-dual-basis 14.39 GiB ->
+# + --no-b-cache 10.58 GiB -> + --no-ax-cache 8.67 GiB.  The remote
+# chip's *available* HBM varies with relay state (a peak that fit in
+# round 2 hit ResourceExhausted in round 3), so the solve line degrades
+# through configs that are algorithmically sound for the BdG workload
 # (B = antidiag(I, I) is perfectly conditioned, so the dual-basis
 # branch never fires; ax-cache/b-cache off cost one extra SpMM /
 # B-apply per iteration) rather than vanishing.  The JSON line records
@@ -156,7 +153,13 @@ FLAGSHIP_SOLVE_ARGS = [
 # b-cache off + dual-basis off fit WITH the ax-cache (41.6 s) and was
 # faster than dropping the ax-cache too (44.6 s).
 FLAGSHIP_FALLBACKS = [
-    [],
+    # The full config's TPU-measured peak is 16.31 GiB — it can NEVER
+    # fit the 16 GB chip (both lax.cond branches count, so the dual
+    # branch pins the peak even when it would not fire).  For this
+    # workload dual-basis off is algorithmically identical (B =
+    # antidiag(I, I) is perfectly conditioned), so the top rung starts
+    # there: 14.39 GiB with both caches — the fastest phase profile.
+    ["--no-dual-basis"],
     ["--no-b-cache", "--no-dual-basis"],
     ["--no-b-cache", "--no-dual-basis", "--no-ax-cache"],
     # Last resort when the relay's grant is below every dim-4M peak:

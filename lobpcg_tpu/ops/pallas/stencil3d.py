@@ -263,9 +263,9 @@ def stencil3d_matmat_pallas(
             # fails to legalize it (see ops/pallas/stencil.py).
             pl.BlockSpec((1,), lambda: (np.int32(0),),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n, k), X.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * (1 << 20),

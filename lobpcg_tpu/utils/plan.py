@@ -64,9 +64,16 @@ PEAK_BLOCKS_TPU = {
 DEFAULT_BUDGET_GB = 12.0
 
 # Knob combinations in measured wall-clock order (fastest first) at the
-# 4M x 56 flagship; each entry overrides SolverConfig fields.
+# 4M x 56 flagship; each entry overrides SolverConfig fields.  The
+# dual-off-only rung keeps both caches (the r3 phase profile's fastest
+# Gram path) at 15.09 blocks — its end-to-end wall-clock is unmeasured
+# (the r3 session's grant sat below its 14.39 GiB peak) but it strictly
+# dominates rung 2 per-iteration; dual_basis only matters for
+# ill-conditioned B, where the caller should pass it explicitly and
+# accept the sharded path if the full config does not fit.
 _LADDER = (
     {},
+    {"dual_basis": False},
     {"use_b_cache": False, "dual_basis": False},
     {"use_b_cache": False, "dual_basis": False, "use_ax_cache": False},
 )

@@ -45,6 +45,15 @@ def test_plan_keeps_full_config_when_it_fits():
     assert planned.use_ax_cache
 
 
+def test_plan_dual_off_rung_keeps_both_caches():
+    # 4M x 64 at a full 16 GB chip: the full config (16.31 GiB) cannot
+    # fit, but the dual-off rung (14.39 GiB) does — and it must keep
+    # the b/ax caches (the fastest measured Gram path).
+    planned = plan_config(_cfg(), 4_000_000, jnp.float32, hbm_gb=16.0)
+    assert not planned.dual_basis
+    assert planned.use_b_cache and planned.use_ax_cache
+
+
 def test_plan_drops_knobs_in_measured_speed_order():
     # 4M x 64 at a 12 GB budget: only the b+dual-off rungs fit; the
     # ax-cache must survive (it was measured faster, 41.6 vs 44.6 s).
