@@ -99,8 +99,24 @@ class SolverConfig:
     max_outer: int = 3
     max_inner: int = 3
 
-    # Power-iteration steps for operator norm estimation.
+    # Power-iteration steps for operator norm estimation, and the block
+    # width of the iteration: 1 = the reference's single random vector
+    # (`estimate_norm_impl.inc:38-57`); 8 (default) runs 8 independent
+    # starts in one [n, 8] block — same wall-clock per step on TPU (a
+    # [n, 1] operand wastes the 128-lane datapath), better estimates for
+    # clustered spectra.  The estimate feeds every tolerance decision
+    # (get_residual_norm's denominator), so underestimates from one
+    # unlucky start loosen convergence silently.
     norm_iters: int = 10
+    norm_block: int = 8
+
+    # Residual-norm numerator: "2" = the reference's 2-norm
+    # (`residual_impl.inc:83-91` — it ignores its B argument, a defect
+    # SURVEY §2.7 flags; kept as the parity default), "b" = the
+    # B-seminorm sqrt(|w^H B w|), the scientifically right norm for
+    # generalized pencils (costs one extra [n, nev] B application per
+    # iteration; identical to "2" when B is None).
+    residual_norm: str = "2"
 
     # Projected generalized eigensolve for the indefinite pencil:
     #   'cholesky' - KPS reduction: chol(GA) + eigh, fully on-device; a
@@ -182,6 +198,12 @@ class SolverConfig:
             raise ValueError(
                 f"unknown gram_precision: {self.gram_precision!r}"
             )
+        if self.residual_norm not in ("2", "b"):
+            raise ValueError(
+                f"unknown residual_norm: {self.residual_norm!r}"
+            )
+        if self.norm_block < 1:
+            raise ValueError(f"norm_block must be >= 1: {self.norm_block}")
 
     def resolved_eps(self, dtype) -> tuple[float, float]:
         e = eps_tol(dtype)

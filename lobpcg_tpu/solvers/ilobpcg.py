@@ -73,8 +73,17 @@ def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
     qt = quality_tol(dtype)
 
     k_a, k_b, k_x, k_r = jax.random.split(key, 4)
-    a_norm = estimate_norm(A, k_a, config.norm_iters)
-    b_norm = estimate_norm(B, k_b, config.norm_iters)
+    a_norm = estimate_norm(A, k_a, config.norm_iters, config.norm_block)
+    b_norm = estimate_norm(B, k_b, config.norm_iters, config.norm_block)
+
+    def res_norm(W, lam):
+        # residual_norm="b": B-seminorm numerator (one extra [n, nev]
+        # B application); "2" keeps the reference's 2-norm parity.
+        BW = (
+            apply_block_op(B, W[:, :nev])
+            if config.residual_norm == "b" else None
+        )
+        return get_residual_norm(W, lam, a_norm, b_norm, nev, BW)
 
     observe.log_start(config, "ilobpcg", a_norm, b_norm)
 
@@ -91,7 +100,7 @@ def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
     X = mm(X, Cx0)
     AX = A.matmat(X)
     W = get_residual(X, AX, lam0, A, B)
-    res = get_residual_norm(W, lam0, a_norm, b_norm, nev)
+    res = res_norm(W, lam0)
 
     # Cache off -> dummy in the carry (see lobpcg.py).
     if not config.use_ax_cache:
@@ -220,7 +229,7 @@ def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
             rr.rr_ok, do_update, do_recover, None
         )
 
-        res = get_residual_norm(Wres, lam_n, a_norm, b_norm, nev)
+        res = res_norm(Wres, lam_n)
         convn = masking.prefix_count(res <= config.tol)
 
         act = m - convn

@@ -69,12 +69,21 @@ def _lobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
     rrdt = config.resolved_rr_dtype(dtype)
 
     k_a, k_b, k_x, k_r = jax.random.split(key, 4)
-    a_norm = estimate_norm(A, k_a, config.norm_iters)
+    a_norm = estimate_norm(A, k_a, config.norm_iters, config.norm_block)
     b_norm = (
-        estimate_norm(B, k_b, config.norm_iters)
+        estimate_norm(B, k_b, config.norm_iters, config.norm_block)
         if B is not None
         else jnp.ones((), a_norm.dtype)
     )
+
+    def res_norm(W, lam):
+        # residual_norm="b": B-seminorm numerator (one extra [n, nev]
+        # B application); "2" keeps the reference's 2-norm parity.
+        BW = (
+            apply_block_op(B, W[:, :nev])
+            if config.residual_norm == "b" and B is not None else None
+        )
+        return get_residual_norm(W, lam, a_norm, b_norm, nev, BW)
 
     observe.log_start(config, "lobpcg", a_norm, b_norm)
 
@@ -90,7 +99,7 @@ def _lobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
     X = mm(X, Cx0)
     AX = A.matmat(X)
     W = get_residual(X, AX, lam, A, B)
-    res = get_residual_norm(W, lam, a_norm, b_norm, nev)
+    res = res_norm(W, lam)
 
     # With the cache off, the carry holds a dummy instead of the n x m
     # AX block (2 n*m resident scalars at while-loop double-buffering) —
@@ -248,7 +257,7 @@ def _lobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
         Wres = get_residual(Xn, AXn, rr.lam, A, B)
         if not config.use_ax_cache:
             AXn = jnp.zeros((1, 1), dtype)
-        res = get_residual_norm(Wres, rr.lam, a_norm, b_norm, nev)
+        res = res_norm(Wres, rr.lam)
         convn = masking.prefix_count(res <= config.tol)
 
         # Soft-locking compaction for the next iteration

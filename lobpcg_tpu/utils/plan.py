@@ -105,7 +105,8 @@ def plan_config(
 ):
     """Return the fastest-known variant of `config` whose estimated
     peak fits ``margin * hbm_gb``, walking the measured speed ladder
-    (full -> b-cache+dual off -> + ax-cache off).
+    (full -> dual off -> b-cache+dual off -> + ax-cache off, matching
+    _LADDER).
 
     Knobs the caller already disabled stay disabled.  Raises
     ``ValueError`` if even the leanest configuration does not fit —

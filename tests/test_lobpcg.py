@@ -239,3 +239,58 @@ def test_chebyshev_preconditioned_solver():
     assert int(r.converged) == nev
     exact = laplacian_exact(np.arange(1, nev + 1))
     assert np.all(np.abs(np.asarray(r.eigenvalues) - exact) / exact < 1e-2)
+
+
+def test_generalized_pencil_b_residual_norm():
+    """residual_norm="b" on the generalized diagonal (Jacobi-style)
+    pencil: converges to the same eigenvalues as the 2-norm default and
+    reports B-seminorm residuals (VERDICT r3 ask 7; fixes the reference
+    defect `residual_impl.inc:83-91`)."""
+    from lobpcg_tpu import SolverConfig
+
+    n, nev, m = 40, 3, 5
+    rng = np.random.RandomState(9)
+    Am = rng.randn(n, n)
+    Am = Am @ Am.T + n * np.eye(n)
+    Bm = np.diag(rng.uniform(0.5, 2.0, n))
+    A, B = dense_op(Am, jnp.float64), dense_op(Bm, jnp.float64)
+    X0 = rand_block(77, n, m, jnp.float64)
+    cfg = SolverConfig(nev=nev, size_sub=m, tol=1e-8, max_iter=300,
+                       residual_norm="b")
+    r = lobpcg(A, X0, B, config=cfg)
+    import scipy.linalg as sla
+
+    exact = sla.eigh(Am, Bm, eigvals_only=True)[:nev]
+    assert int(r.converged) == nev
+    np.testing.assert_allclose(np.asarray(r.eigenvalues), exact, rtol=1e-6)
+    # Reported norms are the B-seminorm of the final residual block.
+    X = np.asarray(r.eigenvectors)
+    lam = np.asarray(r.eigenvalues)
+    Wn = Am @ X - Bm @ X * lam[None, :]
+    a_n = np.linalg.norm(Am, 2)
+    b_n = np.linalg.norm(Bm, 2)
+    expect = np.sqrt(np.abs(np.sum(Wn * (Bm @ Wn), axis=0)))
+    # a_norm/b_norm are power-iteration estimates; compare loosely.
+    ratio = np.asarray(r.residual_norms) * (a_n + np.abs(lam) * b_n) / \
+        np.maximum(expect, 1e-30)
+    assert np.all(ratio > 0.2) and np.all(ratio < 5.0)
+
+
+def test_ilobpcg_b_residual_norm_converges():
+    """residual_norm="b" through the indefinite driver (B indefinite:
+    the |.| guard makes the seminorm well-defined)."""
+    from lobpcg_tpu import SolverConfig, ilobpcg
+    from tests.fixtures import bdg_ops, bdg_positive_init
+
+    m = 100
+    A, B = bdg_ops(m, jnp.float64)
+    X0 = bdg_positive_init(5, m, 6, jnp.float64)
+    cfg = SolverConfig(nev=3, size_sub=6, tol=1e-8, max_iter=200,
+                       residual_norm="b")
+    r = ilobpcg(A, X0, B, config=cfg)
+    assert int(r.converged) == 3
+    k = np.arange(1, 4)
+    exact = (k * np.pi) ** 2
+    np.testing.assert_allclose(
+        np.asarray(r.eigenvalues), exact, rtol=1e-2
+    )

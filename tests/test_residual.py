@@ -66,3 +66,57 @@ def test_estimate_norm_power_iteration(dtype):
     A = dense_op(np.diag(d), dtype)
     nrm = estimate_norm(A, jax.random.PRNGKey(5), iters=50)
     assert abs(float(nrm) - 10.0) / 10.0 < 1e-3
+
+
+def test_residual_norm_b_seminorm():
+    """residual_norm="b" numerator: sqrt(|w^H B w|) (fixes the reference
+    defect SURVEY SS2.7 flags, `residual_impl.inc:83-91`)."""
+    n = 8
+    rng = np.random.RandomState(60)
+    Bd = rng.uniform(0.5, 2.0, n)
+    W = jnp.asarray(rng.randn(n, 2))
+    BW = Bd[:, None] * W
+    lam = jnp.array([2.0, -1.0])
+    rn = get_residual_norm(W, lam, 10.0, 5.0, 2, BW=BW)
+    expect = np.sqrt(np.sum(Bd[:, None] * np.asarray(W) ** 2, axis=0))
+    expect = expect / (10.0 + np.abs([2.0, -1.0]) * 5.0)
+    np.testing.assert_allclose(np.asarray(rn), expect, rtol=1e-12)
+
+
+def test_residual_norm_b_identity_matches_2norm():
+    """With B = I the B-seminorm equals the 2-norm."""
+    W = jnp.array([[3.0, 1.0], [4.0, 2.0]])
+    lam = jnp.array([1.0, 1.0])
+    r2 = get_residual_norm(W, lam, 1.0, 1.0, 2)
+    rb = get_residual_norm(W, lam, 1.0, 1.0, 2, BW=W)
+    np.testing.assert_allclose(np.asarray(rb), np.asarray(r2), rtol=1e-12)
+
+
+@pytest.mark.parametrize("block", [1, 8])
+def test_estimate_norm_blocked(block):
+    """Blocked power iteration converges to the same norm; block=1 is
+    the reference's single-vector path (`estimate_norm_impl.inc:38-57`)."""
+    n = 50
+    d = np.concatenate([np.linspace(1.0, 5.0, n - 1), [10.0]])
+    A = dense_op(np.diag(d), jnp.float64)
+    nrm = estimate_norm(A, jax.random.PRNGKey(7), iters=50, block=block)
+    assert abs(float(nrm) - 10.0) / 10.0 < 1e-3
+
+
+def test_estimate_norm_blocked_clustered_beats_single():
+    """A blocked estimate is a max over independent starts, so it can
+    only improve on (never fall below) the single-vector estimate from
+    any one of its columns; on a clustered spectrum it converges with
+    fewer steps.  Both must underestimate at most (power iteration is a
+    lower bound)."""
+    n = 200
+    # Clustered top of spectrum: slow single-vector convergence.
+    d = np.concatenate([np.linspace(0.1, 9.4, n - 3), [9.7, 9.9, 10.0]])
+    A = dense_op(np.diag(d), jnp.float64)
+    few = 4
+    single = float(estimate_norm(A, jax.random.PRNGKey(3), iters=few))
+    blocked = float(
+        estimate_norm(A, jax.random.PRNGKey(3), iters=few, block=8)
+    )
+    assert blocked <= 10.0 + 1e-9 and single <= 10.0 + 1e-9
+    assert blocked >= single - 1e-12
