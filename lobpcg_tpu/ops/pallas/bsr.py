@@ -258,8 +258,20 @@ def bsr_strip_supported(strip_vals: jax.Array, X: jax.Array,
     return jax.default_backend() == "tpu"
 
 
-def ell_to_strip_window(block_cols, blocks, *, strip: int = STRIP):
+def ell_to_strip_window(block_cols, blocks, *, strip: int = STRIP,
+                        ncols: int | None = None,
+                        force_width: int | None = None):
     """Host-side conversion: block-ELL -> strip-window (banded fast path).
+
+    ``ncols``: number of block columns the indices address (defaults to
+    the row count, i.e. a square matrix).  The sharded operator passes
+    the EXTENDED local frame width nb_local + 2*halo here — its local
+    block matrix is rectangular (spmd_bsr.py), and window clamping must
+    use the X_ext row count, not the output row count.
+    ``force_width``: use this window width (in block columns) instead of
+    the computed one — the sharded operator converts each shard
+    separately and needs one uniform width across shards; must be >= the
+    max span and should already be lane-aligned.
 
     Each 128-row strip stores ONE contiguous block-column window
     [lo, lo + Wb) covering every column its rows touch, and a dense
@@ -311,10 +323,18 @@ def ell_to_strip_window(block_cols, blocks, *, strip: int = STRIP):
     # for bs = 24/40/48 (bs % 8 == 0 but not a 128 divisor) the old
     # `ceil(Wb*bs/128)*128//bs` floor-div quietly produced a window
     # width that was NOT a 128-lane multiple, re-losing the alignment.
-    step = math.lcm(bs, 128) // bs
-    Wb = -(-Wb // step) * step
-    Wb = min(Wb, nb)  # tiny matrices: window = whole matrix
-    lo = np.clip(cmin, 0, max(0, nb - Wb)).astype(np.int32)
+    nc = nb if ncols is None else ncols
+    if force_width is not None:
+        if force_width < Wb:
+            raise ValueError(
+                f"force_width {force_width} < max span {Wb}"
+            )
+        Wb = force_width
+    else:
+        step = math.lcm(bs, 128) // bs
+        Wb = -(-Wb // step) * step
+    Wb = min(Wb, nc)  # tiny matrices: window = whole matrix
+    lo = np.clip(cmin, 0, max(0, nc - Wb)).astype(np.int32)
 
     win = np.zeros((ns, SB, bs, Wb, bs), vals.dtype)
     s_idx, m_idx = np.nonzero(nz2)
@@ -355,7 +375,9 @@ def bsr_window_widths(block_cols, blocks, *, strip: int = STRIP):
     return int(spans.max(initial=1))
 
 
-@functools.partial(jax.jit, static_argnames=("bs", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("bs", "interpret", "out_rows", "vma")
+)
 def bsr_window_matmat_pallas(
     lo: jax.Array,  # [ns] i32 window starts (block units)
     win_vals: jax.Array,  # [ns, strip, W] dense window chunks
@@ -363,11 +385,20 @@ def bsr_window_matmat_pallas(
     *,
     bs: int = 8,
     interpret: bool = False,
+    out_rows: int | None = None,
+    vma: tuple = (),
 ) -> jax.Array:
     """Strip-window SpMM: per 128-row strip, one contiguous double-
-    buffered DMA of the window's X rows and one MXU contraction."""
+    buffered DMA of the window's X rows and one MXU contraction.
+
+    ``out_rows``: rows of the result (defaults to X's rows; the sharded
+    operator passes its local row count — there X is the halo-extended
+    local block and the output is shorter than the input).  ``vma``:
+    mesh axes the output varies over, for calls inside `shard_map`.
+    """
     ns, strip, W = win_vals.shape
     n, k = X.shape
+    nr = n if out_rows is None else out_rows
     # i32 prefetch indices: under jax_enable_x64 an i64 `lo` makes the
     # DMA's memref_slice offset i64, which Mosaic rejects.
     lo = lo.astype(jnp.int32)
@@ -423,10 +454,12 @@ def bsr_window_matmat_pallas(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ns * strip, k), X.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (ns * strip, k), X.dtype, vma=frozenset(vma)
+        ),
         interpret=interpret,
     )(lo.astype(jnp.int32), win_vals, X)
-    return out[:n]
+    return out[:nr]
 
 
 def bsr_window_supported(win_vals: jax.Array, X: jax.Array,

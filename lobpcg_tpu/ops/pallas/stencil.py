@@ -68,15 +68,34 @@ def _stencil_kernel(scale_smem, x_ref, halo_ref, o_ref, *, T: int):
     o_ref[...] = c * (2.0 * x - prev - nxt)
 
 
-@functools.partial(jax.jit, static_argnames=("num_segments", "max_tile"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_segments", "max_tile", "interpret", "vma"),
+)
 def stencil_matmat_pallas(
     X: jax.Array,
     scale: jax.Array,
+    edge_rows: jax.Array | None = None,
     *,
     num_segments: int = 1,
     max_tile: int = 2048,
+    interpret: bool = False,
+    vma: tuple = (),
 ) -> jax.Array:
-    """Y = scale * tridiag[-1, 2, -1] X, per row segment.  f32/bf16."""
+    """Y = scale * tridiag[-1, 2, -1] X, per row segment.  f32/bf16.
+
+    ``edge_rows`` ([2, k], optional) overrides the Dirichlet zeros at the
+    global top/bottom of X: edge_rows[0] acts as the row above X[0] and
+    edge_rows[1] as the row below X[-1].  This is the shard-local entry
+    point for the SPMD halo exchange (parallel/spmd_stencil.py): the
+    ppermute'd neighbour rows flow in here so the local compute runs at
+    kernel rate instead of the jnp fallback's ~3x HBM traffic.  The
+    caller zeroes them where a segment boundary coincides with the shard
+    edge.  ``interpret`` runs the Mosaic interpreter (CPU tests).
+    ``vma``: mesh axis names the output varies over — required when
+    called inside a `shard_map` body with vma checking on (the shard-
+    local SPMD path passes its row axis).
+    """
     n, k = X.shape
     assert n % num_segments == 0
     seg = n // num_segments
@@ -104,6 +123,12 @@ def stencil_matmat_pallas(
         ],
         axis=1,
     )
+    if edge_rows is not None:
+        # The global top/bottom tiles are always segment boundaries in
+        # the mask above (0 % seg == 0, n % seg == 0), so their halo
+        # rows are zero here; replace them with the caller's rows.
+        halo = halo.at[0, 0].set(edge_rows[0].astype(X.dtype))
+        halo = halo.at[nt - 1, 1].set(edge_rows[1].astype(X.dtype))
 
     # Index maps return explicit i32 (a concrete numpy scalar — a traced
     # constant is rejected as a capture): under jax_enable_x64 a Python
@@ -125,8 +150,26 @@ def stencil_matmat_pallas(
             pl.BlockSpec((1, 2, k), lambda i: (i, z, z)),
         ],
         out_specs=pl.BlockSpec((T, k), lambda i: (i, z)),
-        out_shape=jax.ShapeDtypeStruct((n, k), X.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, k), X.dtype, vma=frozenset(vma)
+        ),
+        interpret=interpret,
     )(scale_arr, X, halo)
+
+
+def stencil_shape_ok(n: int, k: int, num_segments: int, dtype) -> bool:
+    """Backend-independent shape gate shared by `stencil_supported` and
+    the SPMD local dispatch (which also allows interpret mode on CPU)."""
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                                jnp.dtype(jnp.bfloat16)):
+        return False
+    if k % 128:
+        return False
+    if n % num_segments:
+        return False
+    seg = n // num_segments
+    sublane = 16 if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16) else 8
+    return seg >= 2 * sublane and seg % sublane == 0
 
 
 def stencil_supported(X: jax.Array, num_segments: int) -> bool:
@@ -143,15 +186,7 @@ def stencil_supported(X: jax.Array, num_segments: int) -> bool:
     costs 2/T extra reads (T = tile rows), negligible for large
     segments and still a win at the N-D stencil's short inner segments.
     """
-    if X.dtype not in (jnp.float32, jnp.bfloat16):
-        return False
     n, k = X.shape
-    if k % 128:
-        return False
-    if n % num_segments:
-        return False
-    seg = n // num_segments
-    sublane = 16 if X.dtype == jnp.bfloat16 else 8
-    if seg < 2 * sublane or seg % sublane:
+    if not stencil_shape_ok(n, k, num_segments, X.dtype):
         return False
     return jax.default_backend() == "tpu"
