@@ -164,6 +164,28 @@ class SolverConfig:
     # quality5_count/history).
     dual_basis: bool = True
 
+    # Lane packing (TPU): fuse adjacent same-width operator applications
+    # (A@P + A@W in the Gram assembly; B@X + B@P in the ilobpcg cache)
+    # into ONE [n, 2m] call when the operator's Pallas fast path needs a
+    # 128-lane-multiple width the single block lacks (size_sub = 64:
+    # two jnp-fallback applies become one kernel-rate apply).  Only
+    # triggers when LinearOperator.apply_width_ok says the single width
+    # misses the fast path; width-indifferent operators are unaffected.
+    # Holds one [n, 2m] transient where the sequential schedule held
+    # [n, m] — about +1 block of peak HBM — so it is a knob.
+    pack_applies: bool = True
+
+    # Ortho entry check (VERDICT r3 ask 3): before the projection+SVQB
+    # pass, test whether W is already B-orthonormal against [X, P] up to
+    # column scaling (one B application + two k x k contractions, using
+    # the pre-applied B blocks when available) and skip the whole pass
+    # when it is.  Also seeds the inner SVQB loop's early exit from the
+    # seed Gram, skipping redundant second-pass SVQBs.  Off by default:
+    # the reference runs the full pass every iteration
+    # (`ilobpcg_impl.inc:168-178`); enable after profiling shows late
+    # iterations would skip.
+    ortho_skip: bool = False
+
     # Mixed precision (BASELINE.json config "mixed float/double"): when
     # set (e.g. "float64"), the k x k Gram matrices are *accumulated* in
     # this precision (preferred_element_type on the contraction — the

@@ -46,6 +46,9 @@ class ChebyshevFilter(LinearOperator):
     degree: int = 8
     chunk: int = 0  # 0 = whole block at once
 
+    def apply_width_ok(self, k):
+        return self.op.apply_width_ok(k)
+
     def matmat(self, X):
         n, k = X.shape
         if self.chunk and self.chunk < k and k % self.chunk == 0:

@@ -39,6 +39,22 @@ class LinearOperator(abc.ABC):
     def __call__(self, X: jax.Array) -> jax.Array:
         return self.matmat(X)
 
+    def apply_width_ok(self, k: int) -> bool:
+        """Does applying at block width k run this operator's fast path?
+
+        TPU lane economics: the Pallas stencil/BSR kernels need 128-lane
+        multiples (sub-128 operands cost a 2x-padded layout copy plus
+        strided DMAs — ops/pallas/stencil.py module docstring), so a
+        width-64 apply is slow while a width-128 apply is not.  Callers
+        with two adjacent same-width applies (A@P and A@W in the Gram
+        assembly) consult this to decide whether to PACK them into one
+        lane-aligned call (ops.gram.apply_block_op_pair) — strictly
+        fewer HBM bytes than two misaligned applies.  Width-indifferent
+        operators return True so packing never triggers for them.
+        """
+        del k
+        return True
+
     # --- composition sugar -------------------------------------------------
     def __add__(self, other: "LinearOperator") -> "LinearOperator":
         return SumOperator(self, other)
@@ -162,7 +178,7 @@ class CallableOperator(LinearOperator):
         return self._dtype
 
 
-@operator(data_fields=("scale",), meta_fields=("n", "segments"))
+@operator(data_fields=("scale",), meta_fields=("n", "segments", "pad_lanes"))
 class Laplacian1D(LinearOperator):
     """Segmented 1-D Dirichlet Laplacian: block-diag of `segments`
     independent tridiag[-1, 2, -1] * scale stencils (scale = 1/h^2).
@@ -182,6 +198,18 @@ class Laplacian1D(LinearOperator):
     scale: jax.Array  # scalar 1/h^2
     n: int = 0
     segments: int = 1
+    pad_lanes: bool = True
+
+    def apply_width_ok(self, k):
+        from lobpcg_tpu.ops.pallas.stencil import stencil_shape_ok
+
+        if jax.default_backend() != "tpu":
+            return True  # jnp path is width-indifferent off-TPU
+        if jnp.dtype(self.dtype) not in (
+            jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)
+        ):
+            return True  # no kernel at any width (complex/f64)
+        return stencil_shape_ok(self.n, k, self.segments, self.dtype)
 
     def matmat(self, X):
         from lobpcg_tpu.ops.pallas.stencil import (
@@ -193,6 +221,27 @@ class Laplacian1D(LinearOperator):
             return stencil_matmat_pallas(
                 X, self.scale, num_segments=self.segments
             )
+        k = X.shape[1]
+        kp = -(-k // 128) * 128
+        if (
+            self.pad_lanes
+            and kp != k
+            and stencil_supported(
+                jax.ShapeDtypeStruct((self.n, kp), X.dtype), self.segments
+            )
+        ):
+            # Lane-pad path for sub-128 widths (VERDICT r3 ask 2): an
+            # explicit zero-pad to the next 128-lane multiple feeds the
+            # streaming kernel an aligned operand.  The pad costs one
+            # [n, kp] write, but the kernel then runs at full rate
+            # instead of the jnp fallback's ~3x-read pad/slice fusion.
+            # (The direct sub-128 pallas call is worse than either:
+            # strided 256B DMAs + a hidden 2x-padded layout copy of the
+            # compact operand, ops/pallas/stencil.py docstring.)
+            Xp = jnp.pad(X, ((0, 0), (0, kp - k)))
+            return stencil_matmat_pallas(
+                Xp, self.scale, num_segments=self.segments
+            )[:, :k]
         # Fallback (CPU, tiny widths/segments, complex dtypes —
         # complex<->f32 bitcasts are unimplemented on the TPU backend, so
         # no zero-copy reinterpret into the f32 kernel): pad + slice.
@@ -224,6 +273,9 @@ class BlockDiagOperator(LinearOperator):
 
     inner: LinearOperator
     copies: int = 2
+
+    def apply_width_ok(self, k):
+        return self.inner.apply_width_ok(k)
 
     def matmat(self, X):
         m = self.inner.shape[0]
@@ -277,6 +329,9 @@ class ShiftedOperator(LinearOperator):
     op: LinearOperator
     sigma: jax.Array
 
+    def apply_width_ok(self, k):
+        return self.op.apply_width_ok(k)
+
     def matmat(self, X):
         return self.op.matmat(X) + self.sigma * X
 
@@ -293,6 +348,9 @@ class ShiftedOperator(LinearOperator):
 class ScaledOperator(LinearOperator):
     op: LinearOperator
     alpha: jax.Array
+
+    def apply_width_ok(self, k):
+        return self.op.apply_width_ok(k)
 
     def matmat(self, X):
         return self.alpha * self.op.matmat(X)
@@ -311,6 +369,9 @@ class SumOperator(LinearOperator):
     left: LinearOperator
     right: LinearOperator
 
+    def apply_width_ok(self, k):
+        return self.left.apply_width_ok(k) and self.right.apply_width_ok(k)
+
     def matmat(self, X):
         return self.left.matmat(X) + self.right.matmat(X)
 
@@ -327,6 +388,9 @@ class SumOperator(LinearOperator):
 class ComposedOperator(LinearOperator):
     outer: LinearOperator
     inner: LinearOperator
+
+    def apply_width_ok(self, k):
+        return self.outer.apply_width_ok(k) and self.inner.apply_width_ok(k)
 
     def matmat(self, X):
         return self.outer.matmat(self.inner.matmat(X))

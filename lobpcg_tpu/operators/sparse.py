@@ -56,6 +56,13 @@ class BSROperator(LinearOperator):
     win_vals: jax.Array = None
     n: int = 0
 
+    def apply_width_ok(self, k):
+        if jax.default_backend() != "tpu":
+            return True
+        if self.blocks.dtype != jnp.float32 or self.blocks.shape[2] % 8:
+            return True  # no kernel at any width
+        return k % 128 == 0  # both Pallas paths need lane alignment
+
     def matmat(self, X):
         from lobpcg_tpu.ops.pallas.bsr import (
             bsr_matmat_pallas,

@@ -114,6 +114,7 @@ def indefinite_rayleigh_ritz_modified(
     max_inner: int = 3,
     rr_dtype=None,
     Bblocks=None,
+    pack=True,
 ) -> IndefiniteRRResult:
     """Per-iteration indefinite RR over the masked [X|P|W] subspace.
 
@@ -136,7 +137,7 @@ def indefinite_rayleigh_ritz_modified(
     # No tall [n, 3m] masking copy (see rayleigh_ritz_modified): the
     # inject_diag below zeroes dead Gram rows/cols exactly; blocks keep
     # the concatenated S out of HBM entirely.
-    GA = _a_gram(blocks, AX, A, out_dtype=rr_dtype)
+    GA = _a_gram(blocks, AX, A, out_dtype=rr_dtype, pack=pack)
     GB = (
         gram_blocks(blocks, B, out_dtype=rr_dtype) if Bblocks is None
         else gram_blocks_pre(blocks, Bblocks, out_dtype=rr_dtype)

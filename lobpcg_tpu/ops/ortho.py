@@ -33,6 +33,7 @@ from lobpcg_tpu.ops.gram import (
     mm,
     ortho_err,
 )
+from lobpcg_tpu.ops.gram import scale_diag
 from lobpcg_tpu.ops.svqb import _svqb_transform, svqb_mat
 from lobpcg_tpu.operators.linop import LinearOperator
 
@@ -54,9 +55,23 @@ def _bnorm(B, vb):
     return jnp.sqrt(total)
 
 
+def _inner_err_ok(U, BU, G, nu, B, eps_ortho, *, indefinite):
+    """The inner-loop convergence criterion evaluated on a given state:
+    ortho_drop normalizes by ||B U||*||U|| (`ortho_drop_impl.inc:97-110`);
+    ortho_indefinite by ||U||^2 (`ortho_indefinite_impl.inc:141-151`)."""
+    err = ortho_err(G, nu)
+    U_norm = _guard(frob_norm(U), eps_ortho)
+    if indefinite:
+        denom = U_norm * U_norm
+    else:
+        BU_norm = U_norm if B is None else _guard(frob_norm(BU), eps_ortho)
+        denom = BU_norm * U_norm
+    return err / denom < eps_ortho
+
+
 def _svqb_inner_loop(
     U, BU0, G0, nu, B, eps_ortho, eps_drop, max_inner, *, indefinite,
-    rr_dtype=None
+    rr_dtype=None, seed_done=False
 ):
     """Shared inner loop: repeat svqb until ||U^H B U - I_sig|| is small.
 
@@ -73,6 +88,13 @@ def _svqb_inner_loop(
     ortho_drop normalizes by ||B*U||*||U|| (`ortho_drop_impl.inc:97-110`);
     ortho_indefinite by ||U||^2 (`ortho_indefinite_impl.inc:141-151`).
     Returns (U, BU, nu).
+
+    ``seed_done`` (the ortho_skip experiment, VERDICT r3 ask 3):
+    evaluate the convergence criterion on the SEED state (G0/BU0) so an
+    already-orthonormal entry skips the SVQB pass entirely — on outer
+    passes >= 2 the projection often no longer perturbs U, and the
+    default always-run-once structure re-SVQBs for nothing.  Off (the
+    parity default) the first pass always runs, like the reference.
     """
 
     def cond(carry):
@@ -85,20 +107,51 @@ def _svqb_inner_loop(
         U2 = masking.mask_cols(mm(U, T), nu2)
         BU2 = apply_block_op(B, U2)
         G2 = _hdot(U2, BU2, rr_dtype)
-        err = ortho_err(G2, nu2)
-        U_norm = _guard(frob_norm(U2), eps_ortho)
-        if indefinite:
-            denom = U_norm * U_norm
-        else:
-            BU_norm = U_norm if B is None else frob_norm(BU2)
-            denom = BU_norm * U_norm
-        done = err / denom < eps_ortho
+        done = _inner_err_ok(
+            U2, BU2, G2, nu2, B, eps_ortho, indefinite=indefinite
+        )
         return U2, BU2, G2, nu2, i + 1, done
 
+    done0 = (
+        _inner_err_ok(U, BU0, G0, nu, B, eps_ortho, indefinite=indefinite)
+        if seed_done else jnp.bool_(False)
+    )
     U, BU, _, nu, _, _ = jax.lax.while_loop(
-        cond, body, (U, BU0, G0, nu, jnp.int32(0), jnp.bool_(False))
+        cond, body, (U, BU0, G0, nu, jnp.int32(0), done0)
     )
     return U, BU, nu
+
+
+def _entry_state(U, nu, B, vb, Bvb, BV_norm, eps_ortho, rr_dtype, *,
+                 indefinite):
+    """ortho_skip entry check (VERDICT r3 ask 3): is U already
+    B-orthonormal up to COLUMN SCALING, and B-orthogonal to V?
+
+    Column scaling first: W arrives unnormalized (fresh residuals /
+    preconditioner output), so testing the raw Gram against I would
+    never pass; the scaled test D G D with D = 1/sqrt|diag G| asks the
+    right question — are the directions already orthogonal — and the
+    scaling itself is the cheap fix for what remains.  Returns
+    (U_scaled, B@U_scaled, skip) — on skip the caller's loop never runs
+    and the scaled U (with its matching BU) is the result.  Cost when
+    not skipped: one B application + two k x k contractions.
+    """
+    BU = apply_block_op(B, U)
+    G = _hdot(U, BU, rr_dtype)
+    D, Gs = scale_diag(G)
+    Dc = D.astype(U.dtype)
+    U = U * Dc[None, :]  # dead cols: guarded D = 1, stay exactly zero
+    BU = BU * Dc[None, :]
+    ok_self = _inner_err_ok(
+        U, BU, Gs, nu, B, eps_ortho, indefinite=indefinite
+    )
+    coef = (
+        bh_dot(Bvb, U, rr_dtype) if Bvb is not None
+        else bh_dot(vb, BU, rr_dtype)
+    )
+    U_norm = _guard(frob_norm(U), eps_ortho)
+    rerr = frob_norm(coef) / (BV_norm * U_norm)
+    return U, BU, ok_self & (rerr < eps_ortho)
 
 
 def ortho_drop(
@@ -115,6 +168,7 @@ def ortho_drop(
     rr_dtype=None,
     Bvb=None,
     return_bu: bool = False,
+    entry_check: bool = False,
 ):
     """B-orthogonalize U against V (B positive semi-definite), with
     column dropping.  Returns (U_new, retained_count).
@@ -164,7 +218,7 @@ def ortho_drop(
         G0 = _hdot(U, BU, rr_dtype)
         U, BU, nu = _svqb_inner_loop(
             U, BU, G0, nu, B, eps_ortho, eps_drop, max_inner,
-            indefinite=False, rr_dtype=rr_dtype,
+            indefinite=False, rr_dtype=rr_dtype, seed_done=entry_check,
         )
         # Check ||V^H B U||_F (BU is exactly B @ the returned U).
         coef2 = bh_dot(vb, BU)
@@ -172,11 +226,20 @@ def ortho_drop(
         rerr = frob_norm(coef2) / (BV_norm * U_norm)
         return U, BU, nu, outer + 1, rerr < eps_ortho
 
-    # done starts False, so the body (and the BU carry) runs at least
-    # once — the zeros seed is never returned.
+    if entry_check:
+        # ortho_skip: an already-orthonormal U (after column scaling)
+        # skips the loop entirely; its real BU seeds the carry so the
+        # skip path still returns a valid B@U.
+        U, BU0, done0 = _entry_state(
+            U, nu, B, vb, Bvb, BV_norm, eps_ortho, rr_dtype,
+            indefinite=False,
+        )
+    else:
+        # done starts False, so the body (and the BU carry) runs at
+        # least once — the zeros seed is never returned.
+        BU0, done0 = jnp.zeros_like(U), jnp.bool_(False)
     U, BU, nu, _, _ = jax.lax.while_loop(
-        cond, body,
-        (U, jnp.zeros_like(U), nu, jnp.int32(0), jnp.bool_(False)),
+        cond, body, (U, BU0, nu, jnp.int32(0), done0)
     )
     if return_bu:
         return U, nu, BU
@@ -198,6 +261,7 @@ def ortho_indefinite(
     rr_dtype=None,
     Bvb=None,
     return_bu: bool = False,
+    entry_check: bool = False,
 ):
     """Signature-weighted B-orthogonalization of U against V (B indefinite).
 
@@ -252,17 +316,26 @@ def ortho_indefinite(
         G0 = _hdot(U, BU, rr_dtype)
         U, BU, nu = _svqb_inner_loop(
             U, BU, G0, nu, B, eps_ortho, eps_drop, max_inner,
-            indefinite=True, rr_dtype=rr_dtype,
+            indefinite=True, rr_dtype=rr_dtype, seed_done=entry_check,
         )
         coef2 = bh_dot(vb, BU)
         U_norm = _guard(frob_norm(U), eps_ortho)
         rerr = frob_norm(coef2) / (BV_norm * U_norm)
         return U, BU, nu, outer + 1, rerr < eps_ortho
 
-    # done starts False, so the outer body (and with it the BU carry)
-    # always executes at least once — the zeros seed is never returned.
+    if entry_check:
+        # ortho_skip: see ortho_drop — scaled entry test, real BU seed.
+        U, BU0, done0 = _entry_state(
+            U, nu, B, vb, Bvb, BV_norm, eps_ortho, rr_dtype,
+            indefinite=True,
+        )
+    else:
+        # done starts False, so the outer body (and with it the BU
+        # carry) always executes at least once — the zeros seed is never
+        # returned.
+        BU0, done0 = jnp.zeros_like(U), jnp.bool_(False)
     U, BU, nu, _, _ = jax.lax.while_loop(
-        cond, body, (U, jnp.zeros_like(U), nu, jnp.int32(0), jnp.bool_(False))
+        cond, body, (U, BU0, nu, jnp.int32(0), done0)
     )
     if return_bu:
         return U, nu, BU

@@ -133,25 +133,23 @@ def rayleigh_ritz(
     return Cx.astype(X.dtype), w
 
 
-def _a_gram(blocks, AX, A, out_dtype=None):
+def _a_gram(blocks, AX, A, out_dtype=None, pack=True):
     """G_A = S^H A S assembled per column block of S = [X | P | W];
     reuses the AX cache for the X block (`rayleigh_ritz_modified_impl.inc:
-    71-78, 189-196`).  Only one [n, m] A-application transient is live at
-    a time, S is never concatenated, and only upper-triangle tall
-    contractions run (A Hermitian; see ops.gram.herm_tile_gram — the
-    lower tiles are mirrored, 6 MXU dots instead of 9).
+    71-78, 189-196`).  S is never concatenated and only upper-triangle
+    tall contractions run (A Hermitian; see ops.gram.herm_tile_gram —
+    the lower tiles are mirrored, 6 MXU dots instead of 9).  With
+    ``pack`` (and an operator whose fast path needs the combined lane-
+    aligned width, e.g. the stencil at size_sub 64), the A@P and A@W
+    applications fuse into one [n, 2m] kernel-rate call
+    (ops.gram.applied_blocks); otherwise applications stay one block at
+    a time so only a single [n, m] transient is live.
     """
-    nb = len(blocks)
-    tiles = [[None] * nb for _ in range(nb)]
-    for j, b in enumerate(blocks):
-        Ab = AX if (j == 0 and AX is not None) else A.matmat(b)
-        for i in range(j + 1):
-            tiles[i][j] = _hdot(blocks[i], Ab, out_dtype)
-            if i != j:
-                tiles[j][i] = tiles[i][j].conj().T
-    return jnp.concatenate(
-        [jnp.concatenate(row, axis=1) for row in tiles], axis=0
-    )
+    from lobpcg_tpu.ops.gram import applied_blocks, herm_tile_gram
+
+    pre = {0: AX} if AX is not None else {}
+    applied = applied_blocks(A, blocks, pre, pack=pack)
+    return herm_tile_gram(blocks, applied, out_dtype)
 
 
 def rayleigh_ritz_modified(
@@ -167,6 +165,7 @@ def rayleigh_ritz_modified(
     tol_skip: float = 5e-3,
     rr_dtype=None,
     Bblocks=None,
+    pack=True,
 ) -> RRResult:
     """Per-iteration RR over the masked [X|P|W] subspace.
 
@@ -191,7 +190,7 @@ def rayleigh_ritz_modified(
     # which costs O(k^2) instead of two resident n x 3m buffers — the
     # single largest HBM consumer at capacity-bound sizes.
     GA = masking.inject_diag(
-        _a_gram(blocks, AX, A, out_dtype=rr_dtype), live, 0.0
+        _a_gram(blocks, AX, A, out_dtype=rr_dtype, pack=pack), live, 0.0
     )
     sdt = blocks_dtype(S)
 

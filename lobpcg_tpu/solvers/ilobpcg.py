@@ -26,7 +26,12 @@ from lobpcg_tpu.config import (
 )
 from lobpcg_tpu.operators.linop import LinearOperator
 from lobpcg_tpu.ops import masking
-from lobpcg_tpu.ops.gram import apply_block_op, b_mm, mm
+from lobpcg_tpu.ops.gram import (
+    apply_block_op,
+    apply_block_op_pair,
+    b_mm,
+    mm,
+)
 from lobpcg_tpu.ops.indefinite import (
     indefinite_rayleigh_ritz,
     indefinite_rayleigh_ritz_modified,
@@ -144,13 +149,17 @@ def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
         # applications per iteration than re-applying at each site the
         # way the reference does (`gram_impl.inc:49-67`).
         if config.use_b_cache:
-            BX = apply_block_op(B, c.X)
-            BP = apply_block_op(B, c.P)
+            if config.pack_applies:
+                BX, BP = apply_block_op_pair(B, c.X, c.P)
+            else:
+                BX = apply_block_op(B, c.X)
+                BP = apply_block_op(B, c.P)
             W, nw, BW = ortho_indefinite(
                 W, nw, (c.X, c.P), m + np_act, B,
                 eps_ortho=eps_ortho, eps_drop=eps_drop,
                 max_outer=config.max_outer, max_inner=config.max_inner,
                 rr_dtype=rrdt, Bvb=(BX, BP), return_bu=True,
+                entry_check=config.ortho_skip,
             )
             Bblocks = (BX, BP, BW)
         else:
@@ -158,7 +167,7 @@ def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
                 W, nw, (c.X, c.P), m + np_act, B,
                 eps_ortho=eps_ortho, eps_drop=eps_drop,
                 max_outer=config.max_outer, max_inner=config.max_inner,
-                rr_dtype=rrdt,
+                rr_dtype=rrdt, entry_check=config.ortho_skip,
             )
             Bblocks = None
         blocks = (c.X, c.P, W)
@@ -169,7 +178,7 @@ def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
             nx=m, method=config.rr_method, tiny=tn, quality_tol=qt,
             eps_ortho=eps_ortho, eps_drop=eps_drop,
             max_outer=config.max_outer, max_inner=config.max_inner,
-            rr_dtype=rrdt, Bblocks=Bblocks,
+            rr_dtype=rrdt, Bblocks=Bblocks, pack=config.pack_applies,
         )
 
         def project_good(_):

@@ -23,7 +23,12 @@ import jax.numpy as jnp
 from lobpcg_tpu.config import SolverConfig, validate_problem
 from lobpcg_tpu.operators.linop import LinearOperator
 from lobpcg_tpu.ops import masking
-from lobpcg_tpu.ops.gram import apply_block_op, b_mm, mm
+from lobpcg_tpu.ops.gram import (
+    apply_block_op,
+    apply_block_op_pair,
+    b_mm,
+    mm,
+)
 from lobpcg_tpu.ops.ortho import ortho_drop
 from lobpcg_tpu.ops.rayleigh import (
     RRResult,
@@ -146,6 +151,7 @@ def _lobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
             rr_dtype=rrdt,
             Bvb=Bvb,
             return_bu=cache_b,
+            entry_check=config.ortho_skip,
         )
 
     # Runtime iteration cap (traced, <= config.max_iter): chunked
@@ -177,8 +183,11 @@ def _lobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
         # projector and the RR B-Gram; the no-ortho branch applies B@W
         # itself (1 application, replacing the 3 the B-Gram would do).
         if cache_b:
-            BX = apply_block_op(B, c.X)
-            BP = apply_block_op(B, c.P)
+            if config.pack_applies:
+                BX, BP = apply_block_op_pair(B, c.X, c.P)
+            else:
+                BX = apply_block_op(B, c.X)
+                BP = apply_block_op(B, c.P)
             Bvb = (BX, BP)
             W, nw, BW = jax.lax.cond(
                 c.use_ortho >= 1,
@@ -210,6 +219,7 @@ def _lobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
             tol_skip=config.tol_skip,
             rr_dtype=rrdt,
             Bblocks=Bblocks,
+            pack=config.pack_applies,
         )
 
         # Cholesky/cond failure: orthogonalize W and retry with the ortho
@@ -234,6 +244,7 @@ def _lobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
                 tol_skip=config.tol_skip,
                 rr_dtype=rrdt,
                 Bblocks=Bb2,
+                pack=config.pack_applies,
             )
             return rr2, W2, jnp.int32(1)
 
