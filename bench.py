@@ -152,21 +152,51 @@ FLAGSHIP_SOLVE_ARGS = [
 # real HBM than the CPU-backend nominal parity suggests — while
 # b-cache off + dual-basis off fit WITH the ax-cache (41.6 s) and was
 # faster than dropping the ax-cache too (44.6 s).
+# Named rungs (VERDICT r3 ask 9: same-rung round-over-round
+# comparability — the JSON line carries the rung that actually ran, and
+# BASELINE.md's round table compares like with like).  Rung 0 is the
+# full configuration; its TPU-measured peak is 16.31 GiB, which can
+# NEVER fit the 16 GB chip (both lax.cond branches count, so the dual
+# branch pins the peak even when it would not fire) — it is statically
+# skipped via the measured peak model (utils/plan.py) rather than
+# burning a ~3-min doomed compile, and the skip is recorded in the JSON.
+# For this workload dual-basis off is algorithmically identical (B =
+# antidiag(I, I) is perfectly conditioned), so the first *attempted*
+# rung is dual_off: 14.39 GiB with both caches — the fastest profile.
 FLAGSHIP_FALLBACKS = [
-    # The full config's TPU-measured peak is 16.31 GiB — it can NEVER
-    # fit the 16 GB chip (both lax.cond branches count, so the dual
-    # branch pins the peak even when it would not fire).  For this
-    # workload dual-basis off is algorithmically identical (B =
-    # antidiag(I, I) is perfectly conditioned), so the top rung starts
-    # there: 14.39 GiB with both caches — the fastest phase profile.
-    ["--no-dual-basis"],
-    ["--no-b-cache", "--no-dual-basis"],
-    ["--no-b-cache", "--no-dual-basis", "--no-ax-cache"],
+    ("full", []),
+    ("dual_off", ["--no-dual-basis"]),
+    ("b_cache_off", ["--no-b-cache", "--no-dual-basis"]),
+    ("all_off", ["--no-b-cache", "--no-dual-basis", "--no-ax-cache"]),
     # Last resort when the relay's grant is below every dim-4M peak:
     # report the half-dim solve rather than nothing.  The JSON line's
     # "n" field keeps the metric honest.
-    ["--half-dim", "--no-b-cache", "--no-dual-basis", "--no-ax-cache"],
+    ("half_dim",
+     ["--half-dim", "--no-b-cache", "--no-dual-basis", "--no-ax-cache"]),
 ]
+
+# Physical chip HBM: rungs whose measured peak exceeds this can never
+# run regardless of the session's grant.
+CHIP_HBM_GB = 16.0
+
+
+def _rung_peak_gb(name: str, n: int, size_sub: int) -> float:
+    import numpy as np
+
+    from lobpcg_tpu import SolverConfig
+    from lobpcg_tpu.utils.plan import estimate_peak_gb
+
+    knobs = {
+        "full": {},
+        "dual_off": {"dual_basis": False},
+        "b_cache_off": {"dual_basis": False, "use_b_cache": False},
+        "all_off": {"dual_basis": False, "use_b_cache": False,
+                    "use_ax_cache": False},
+        "half_dim": {"dual_basis": False, "use_b_cache": False,
+                     "use_ax_cache": False},
+    }[name]
+    cfg = SolverConfig(nev=1, size_sub=size_sub, **knobs)
+    return estimate_peak_gb(n, size_sub, np.float32, cfg)
 
 
 def _flagship_solve_line() -> str | None:
@@ -179,11 +209,21 @@ def _flagship_solve_line() -> str | None:
 
     script = pathlib.Path(__file__).resolve().parent / "benchmarks" / \
         "solve_bdg.py"
-    for extra in FLAGSHIP_FALLBACKS:
-        args = list(FLAGSHIP_SOLVE_ARGS)
+    base = list(FLAGSHIP_SOLVE_ARGS)
+    dim = int(base[base.index("--n") + 1])
+    ss = int(base[base.index("--size-sub") + 1])
+    skipped = []
+    for rung_idx, (rung_id, extra) in enumerate(FLAGSHIP_FALLBACKS):
+        # Static skip via the measured peak model: a rung whose
+        # TPU-compiled peak exceeds the physical chip can never run.
+        rung_dim = dim // 2 if rung_id == "half_dim" else dim
+        if _rung_peak_gb(rung_id, rung_dim, ss) > CHIP_HBM_GB:
+            skipped.append(rung_id)
+            continue
+        args = list(base)
         if "--half-dim" in extra:
             extra = [e for e in extra if e != "--half-dim"]
-            args[args.index("--n") + 1] = "2000000"
+            args[args.index("--n") + 1] = str(dim // 2)
         try:
             p = subprocess.run(
                 [sys.executable, str(script)] + args + extra,
@@ -198,11 +238,16 @@ def _flagship_solve_line() -> str | None:
             if any(s in (p.stderr or "") for s in
                    ("RESOURCE_EXHAUSTED", "Largest program allocations",
                     "exceeds the limit in memory space")):
+                skipped.append(rung_id)
                 continue  # try the next-lower-memory configuration
             return None
         for line in reversed(p.stdout.strip().splitlines()):
             if line.startswith("{"):
-                return line
+                rec = json.loads(line)
+                rec["rung"] = rung_idx
+                rec["rung_id"] = rung_id
+                rec["rungs_skipped"] = skipped
+                return json.dumps(rec)
         return None
     return None
 

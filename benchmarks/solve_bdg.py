@@ -107,6 +107,16 @@ def main() -> None:
                     choices=("highest", "high"),
                     help="MXU passes for Gram contractions: 'high' "
                          "(bf16_3x) halves their MXU time")
+    ap.add_argument("--ortho-skip", action="store_true",
+                    help="enable the ortho entry check (skip the "
+                         "projection+SVQB pass when W is already "
+                         "B-orthonormal up to column scaling)")
+    ap.add_argument("--no-pack", action="store_true",
+                    help="disable lane packing of adjacent operator "
+                         "applications (A@P|A@W, B@X|B@P)")
+    ap.add_argument("--no-pad", action="store_true",
+                    help="disable the stencil's pad-to-128-lanes path "
+                         "for sub-128 block widths (jnp fallback)")
     ap.add_argument("--chunk", type=int, default=0,
                     help="split the solve into warm-restarted launches "
                          "of this many iterations (one compile; the "
@@ -148,8 +158,8 @@ def main() -> None:
     # A-apply (measured in profile_solve.py); the segmented Laplacian1D
     # handles the two decoupled blocks natively.
     Vd2 = jnp.concatenate([Vd, Vd])
-    A = Laplacian1D(scale=jnp.asarray(1.0, dtype), n=n, segments=2) \
-        + DiagonalOperator(Vd2)
+    A = Laplacian1D(scale=jnp.asarray(1.0, dtype), n=n, segments=2,
+                    pad_lanes=not args.no_pad) + DiagonalOperator(Vd2)
     B = BlockAntiDiagOperator(d=jnp.ones((m,), dtype))
     T = None
     if args.cheb:
@@ -178,7 +188,9 @@ def main() -> None:
                        use_b_cache=not args.no_b_cache,
                        dual_basis=not args.no_dual_basis,
                        gram_precision=args.gram_precision,
-                       rr_dtype=args.rr_dtype)
+                       rr_dtype=args.rr_dtype,
+                       pack_applies=not args.no_pack,
+                       ortho_skip=args.ortho_skip)
 
     if args.realify:
         import jax as _jax
@@ -277,6 +289,9 @@ def main() -> None:
         "b_cache": not args.no_b_cache,
         "ax_cache": not args.no_ax_cache,
         "dual_basis": not args.no_dual_basis,
+        "pack_applies": not args.no_pack,
+        "pad_lanes": not args.no_pad,
+        "ortho_skip": args.ortho_skip,
         "rr_dtype": str(cfg.resolved_rr_dtype(dtype)),
         "device": str(jax.devices()[0].device_kind),
     }
