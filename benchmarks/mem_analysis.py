@@ -28,7 +28,7 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
-def build(n, ss, nev, cfg_kwargs):
+def build(n, ss, nev, cfg_kwargs, pad=False):
     import jax
     import jax.numpy as jnp
 
@@ -45,8 +45,8 @@ def build(n, ss, nev, cfg_kwargs):
     m = n // 2
     V = np.full(m, 2.0, np.float64)
     Vd2 = jnp.asarray(np.concatenate([V, V]), dtype)
-    A = Laplacian1D(scale=jnp.asarray(1.0, dtype), n=n, segments=2) \
-        + DiagonalOperator(Vd2)
+    A = Laplacian1D(scale=jnp.asarray(1.0, dtype), n=n, segments=2,
+                    pad_lanes=pad) + DiagonalOperator(Vd2)
     B = BlockAntiDiagOperator(d=jnp.ones((m,), dtype))
     T = JacobiPreconditioner(2.0 + Vd2)
     cfg = SolverConfig(nev=nev, size_sub=ss, tol=1e-5, max_iter=40,
@@ -59,8 +59,8 @@ def build(n, ss, nev, cfg_kwargs):
     return fn, (A, B, T, X0, key, cfg, P0, 0, 40)
 
 
-def analyze(n, ss, nev, cfg_kwargs):
-    fn, args = build(n, ss, nev, cfg_kwargs)
+def analyze(n, ss, nev, cfg_kwargs, pad=False):
+    fn, args = build(n, ss, nev, cfg_kwargs, pad)
     compiled = fn.lower(*args).compile()
     ma = compiled.memory_analysis()
     gb = 1 / (1 << 30)
@@ -88,6 +88,8 @@ def main():
     ap.add_argument("--compare", default="b_cache",
                     choices=("b_cache", "ax_cache", "dual_basis", "none"),
                     help="knob to toggle; 'none' analyzes defaults only")
+    ap.add_argument("--pad", action="store_true",
+                    help="enable the stencil pad-to-128 path (peak study)")
     ap.add_argument("--config-json", default=None,
                     help="JSON dict of SolverConfig kwargs to analyze "
                          "(overrides --compare), e.g. "
@@ -108,7 +110,7 @@ def main():
         configs = [{key: True}, {key: False}]
 
     for kw in configs:
-        r = analyze(args.n, args.size_sub, args.nev, kw)
+        r = analyze(args.n, args.size_sub, args.nev, kw, args.pad)
         r.update({"n": args.n, "size_sub": args.size_sub,
                   "backend": jax.default_backend()})
         print(json.dumps(r), flush=True)

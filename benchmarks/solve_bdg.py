@@ -114,9 +114,12 @@ def main() -> None:
     ap.add_argument("--no-pack", action="store_true",
                     help="disable lane packing of adjacent operator "
                          "applications (A@P|A@W, B@X|B@P)")
+    ap.add_argument("--pad", action="store_true",
+                    help="enable the stencil's pad-to-128-lanes path for "
+                         "sub-128 block widths (off by default: +4.8 GiB "
+                         "peak at the 4M x 64 lean rung, results_r4 5e-5h)")
     ap.add_argument("--no-pad", action="store_true",
-                    help="disable the stencil's pad-to-128-lanes path "
-                         "for sub-128 block widths (jnp fallback)")
+                    help=argparse.SUPPRESS)  # legacy; padding is now opt-in
     ap.add_argument("--chunk", type=int, default=0,
                     help="split the solve into warm-restarted launches "
                          "of this many iterations (one compile; the "
@@ -159,7 +162,8 @@ def main() -> None:
     # handles the two decoupled blocks natively.
     Vd2 = jnp.concatenate([Vd, Vd])
     A = Laplacian1D(scale=jnp.asarray(1.0, dtype), n=n, segments=2,
-                    pad_lanes=not args.no_pad) + DiagonalOperator(Vd2)
+                    pad_lanes=args.pad and not args.no_pad) \
+        + DiagonalOperator(Vd2)
     B = BlockAntiDiagOperator(d=jnp.ones((m,), dtype))
     T = None
     if args.cheb:
@@ -290,7 +294,7 @@ def main() -> None:
         "ax_cache": not args.no_ax_cache,
         "dual_basis": not args.no_dual_basis,
         "pack_applies": not args.no_pack,
-        "pad_lanes": not args.no_pad,
+        "pad_lanes": args.pad and not args.no_pad,
         "ortho_skip": args.ortho_skip,
         "rr_dtype": str(cfg.resolved_rr_dtype(dtype)),
         "device": str(jax.devices()[0].device_kind),

@@ -198,7 +198,17 @@ class Laplacian1D(LinearOperator):
     scale: jax.Array  # scalar 1/h^2
     n: int = 0
     segments: int = 1
-    pad_lanes: bool = True
+    # Pad-to-128-lanes path for sub-128 apply widths: bit-identical to
+    # the jnp fallback (verified on-chip) but the pad+output transients
+    # RAISE PEAK HBM substantially at capacity-bound sizes — XLA's
+    # memory analysis measured the 4M x 64 flagship's lean rung at
+    # 15.35 GiB with padding vs 10.58 GiB without (and every padded 4M
+    # solve ResourceExhausted'd in the r4 session), because each padded
+    # apply holds [n, 128] pad + output buffers where the fused jnp
+    # path held [n, 64] (benchmarks/results_r4.jsonl 5e-5h).  Off by
+    # default; the pair-PACKING path (ops.gram.apply_block_op_pair) is
+    # the peak-free way to lane-align the Gram-assembly applies.
+    pad_lanes: bool = False
 
     def apply_width_ok(self, k):
         from lobpcg_tpu.ops.pallas.stencil import stencil_shape_ok
