@@ -150,19 +150,18 @@ def main() -> None:
         elapsed = round(time.time() - t0, 1)
         lines = [ln for ln in p.stdout.strip().splitlines()
                  if ln.startswith("{")]
-        if p.returncode != 0 or not lines:
-            tail = (p.stderr or p.stdout).strip().splitlines()[-3:]
-            record({"experiment": eid, "label": label,
-                    "error": f"rc={p.returncode}", "tail": tail,
-                    "elapsed_s": elapsed})
-            print(f"    FAILED rc={p.returncode}: {tail}", flush=True)
-            continue
         for ln in lines:
             obj = json.loads(ln)
             obj.update({"experiment": eid, "label": label,
                         "elapsed_s": elapsed})
             record(obj)
             print(f"    {ln[:160]}", flush=True)
+        if p.returncode != 0 or not lines:
+            tail = (p.stderr or p.stdout).strip().splitlines()[-3:]
+            record({"experiment": eid, "label": label,
+                    "error": f"rc={p.returncode}", "tail": tail,
+                    "elapsed_s": elapsed})
+            print(f"    FAILED rc={p.returncode}: {tail}", flush=True)
 
 
 if __name__ == "__main__":
