@@ -168,11 +168,19 @@ FLAGSHIP_FALLBACKS = [
     ("dual_off", ["--no-dual-basis"]),
     ("b_cache_off", ["--no-b-cache", "--no-dual-basis"]),
     ("all_off", ["--no-b-cache", "--no-dual-basis", "--no-ax-cache"]),
+    # Lane packing costs ~+2-3 blocks when it is itself the high-water
+    # mark (results_r4.jsonl 5k/5l/5m): two leaner pack-off rungs
+    # before giving up the full dimension.
+    ("b_cache_off_nopack",
+     ["--no-b-cache", "--no-dual-basis", "--no-pack"]),
+    ("all_off_nopack",
+     ["--no-b-cache", "--no-dual-basis", "--no-ax-cache", "--no-pack"]),
     # Last resort when the relay's grant is below every dim-4M peak:
     # report the half-dim solve rather than nothing.  The JSON line's
     # "n" field keeps the metric honest.
     ("half_dim",
-     ["--half-dim", "--no-b-cache", "--no-dual-basis", "--no-ax-cache"]),
+     ["--half-dim", "--no-b-cache", "--no-dual-basis", "--no-ax-cache",
+      "--no-pack"]),
 ]
 
 # Physical chip HBM: rungs whose measured peak exceeds this can never
@@ -192,8 +200,12 @@ def _rung_peak_gb(name: str, n: int, size_sub: int) -> float:
         "b_cache_off": {"dual_basis": False, "use_b_cache": False},
         "all_off": {"dual_basis": False, "use_b_cache": False,
                     "use_ax_cache": False},
+        "b_cache_off_nopack": {"dual_basis": False, "use_b_cache": False,
+                               "pack_applies": False},
+        "all_off_nopack": {"dual_basis": False, "use_b_cache": False,
+                           "use_ax_cache": False, "pack_applies": False},
         "half_dim": {"dual_basis": False, "use_b_cache": False,
-                     "use_ax_cache": False},
+                     "use_ax_cache": False, "pack_applies": False},
     }[name]
     cfg = SolverConfig(nev=1, size_sub=size_sub, **knobs)
     return estimate_peak_gb(n, size_sub, np.float32, cfg)

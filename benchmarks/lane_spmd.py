@@ -49,6 +49,8 @@ def chained(fn, X, reps=15, warm=6):
 
 
 def main() -> None:
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
@@ -56,24 +58,32 @@ def main() -> None:
     from lobpcg_tpu.parallel import row_mesh
     from lobpcg_tpu.parallel.spmd_stencil import SpmdLaplacian1D
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sections", default="stencil,pad,pack,bsr",
+                    help="comma list of sections to run")
+    args = ap.parse_args()
+    sections = set(args.sections.split(","))
+
     n = 4_000_000
     sc = jnp.float32(1.7)
     out = []
 
     # --- spmd_stencil: 1-device mesh, kernel local vs jnp local -------
+    mesh = row_mesh(1)
     k = 256
     X = jax.random.uniform(jax.random.PRNGKey(0), (n, k), jnp.float32,
                            -0.5, 0.5)
     base = Laplacian1D(scale=sc, n=n, segments=2)
-    mesh = row_mesh(1)
     s_auto = SpmdLaplacian1D(scale=sc, n=n, segments=2, mesh=mesh)
     s_jnp = SpmdLaplacian1D(scale=sc, n=n, segments=2, mesh=mesh,
                             pallas="off")
     gb = 2 * n * k * 4 / 1e9
+    stencil_ops = (("unsharded_kernel", base),
+                   ("spmd_local_kernel", s_auto),
+                   ("spmd_local_jnp", s_jnp)) if "stencil" in sections \
+        else ()
     with mesh:
-        for name, op in (("unsharded_kernel", base),
-                         ("spmd_local_kernel", s_auto),
-                         ("spmd_local_jnp", s_jnp)):
+        for name, op in stencil_ops:
             try:
                 dt = chained(jax.jit(op.matmat), X)
             except Exception as e:  # noqa: BLE001 - relay compile flake
@@ -92,12 +102,13 @@ def main() -> None:
     X = jax.random.uniform(jax.random.PRNGKey(1), (n, k), jnp.float32,
                            -0.5, 0.5)
     gb = 2 * n * k * 4 / 1e9
-    for name, op in (
+    pad_ops = (
         ("jnp_fallback", Laplacian1D(scale=sc, n=n, segments=2,
                                      pad_lanes=False)),
         ("pad128_kernel", Laplacian1D(scale=sc, n=n, segments=2,
                                       pad_lanes=True)),
-    ):
+    ) if "pad" in sections else ()
+    for name, op in pad_ops:
         try:
             dt = chained(jax.jit(op.matmat), X)
         except Exception as e:  # noqa: BLE001
@@ -122,8 +133,11 @@ def main() -> None:
     lap_nopad = Laplacian1D(scale=sc, n=n, segments=2, pad_lanes=False)
     lap_pad = Laplacian1D(scale=sc, n=n, segments=2, pad_lanes=True)
 
+    # P and W are ARGUMENTS, not closures: closure arrays are baked into
+    # the HLO as constants and the remote compile tunnel rejects bodies
+    # this large (2.05 GB captured -> broken pipe; CLAUDE.md gotcha).
     def two_applies(op):
-        def f(bias):
+        def f(bias, P, W):
             AP = op.matmat(P + bias)
             AW = op.matmat(W + bias)
             g1 = jnp.matmul(P.T, AP, precision=jax.lax.Precision.HIGH)
@@ -133,7 +147,7 @@ def main() -> None:
         return f
 
     def packed(op):
-        def f(bias):
+        def f(bias, P, W):
             Y = op.matmat(jnp.concatenate([P + bias, W + bias], axis=1))
             g1 = jnp.matmul(P.T, Y[:, :k], precision=jax.lax.Precision.HIGH)
             g2 = jnp.matmul(W.T, Y[:, k:], precision=jax.lax.Precision.HIGH)
@@ -146,18 +160,19 @@ def main() -> None:
             t0 = time.perf_counter()
             z = jnp.float32(0.0)
             for _ in range(r):
-                z = fn(z)
+                z = fn(z, P, W)
             float(z)
             return (time.perf_counter() - t0) / r
 
         loop(warm)
         return min(loop(reps) for _ in range(3))
 
-    for name, f in (
+    pack_fns = (
         ("two_jnp", two_applies(lap_nopad)),
         ("two_pad128", two_applies(lap_pad)),
         ("packed128", packed(lap_nopad)),
-    ):
+    ) if "pack" in sections else ()
+    for name, f in pack_fns:
         try:
             dt = chained_scalar(jax.jit(f))
         except Exception as e:  # noqa: BLE001
@@ -172,6 +187,8 @@ def main() -> None:
     del P, W, X
 
     # --- spmd_bsr: 1-device mesh window kernel vs single-chip ---------
+    if "bsr" not in sections:
+        return
     import scipy.sparse as sp
 
     from lobpcg_tpu.operators.sparse import BSROperator
@@ -186,10 +203,14 @@ def main() -> None:
     X = jax.random.uniform(jax.random.PRNGKey(4), (nb_n, k), jnp.float32,
                            -0.5, 0.5)
     sop = ShardedBSROperator.shard(op, mesh)
+    # Operators are pytrees: pass them as jit ARGUMENTS — closing over
+    # the ~1 GB window-value arrays bakes them into the HLO and the
+    # remote compile tunnel rejects the body (HTTP 413).
+    apply = jax.jit(lambda o, Z: o.matmat(Z))
     with mesh:
         for name, o in (("single_chip", op), ("spmd_local", sop)):
             try:
-                dt = chained(jax.jit(o.matmat), X)
+                dt = chained(lambda Z, _o=o: apply(_o, Z), X)
             except Exception as e:  # noqa: BLE001
                 print(json.dumps({
                     "metric": f"bsr_window_{name}_1M_bw17",

@@ -61,7 +61,22 @@ def build(n, ss, nev, cfg_kwargs, pad=False):
 
 def analyze(n, ss, nev, cfg_kwargs, pad=False):
     fn, args = build(n, ss, nev, cfg_kwargs, pad)
-    compiled = fn.lower(*args).compile()
+    try:
+        compiled = fn.lower(*args).compile()
+    except Exception as e:  # noqa: BLE001 - OOM compiles carry the dump
+        # TPU AOT compile OOM: surface the largest allocations so the
+        # blow-up is attributable (e.g. dot-merger stacked copies).
+        msg = str(e)
+        tops = []
+        for ln in msg.splitlines():
+            ln = ln.strip()
+            if ln.startswith(("Size:", "Shape:", "XLA label:")):
+                tops.append(ln)
+            if len(tops) >= 18:
+                break
+        used = next((ln.strip() for ln in msg.splitlines()
+                     if "Used" in ln and "hbm" in ln), msg[:160])
+        return {"config": cfg_kwargs, "compile_oom": used, "top": tops}
     ma = compiled.memory_analysis()
     gb = 1 / (1 << 30)
     out = {
@@ -90,6 +105,9 @@ def main():
                     help="knob to toggle; 'none' analyzes defaults only")
     ap.add_argument("--pad", action="store_true",
                     help="enable the stencil pad-to-128 path (peak study)")
+    ap.add_argument("--x64", action="store_true",
+                    help="enable jax_enable_x64 (the escalated-RR peak "
+                         "study: width > 512 auto-escalates rr_dtype)")
     ap.add_argument("--config-json", default=None,
                     help="JSON dict of SolverConfig kwargs to analyze "
                          "(overrides --compare), e.g. "
@@ -98,6 +116,8 @@ def main():
 
     import jax
 
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
     if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
 

@@ -87,6 +87,11 @@ def main() -> None:
                     help="Gram/RR math dtype (e.g. float64); default "
                          "auto-escalates wide pencils per "
                          "config.RR_WIDTH_ESCALATE")
+    ap.add_argument("--rr-chunk", type=int, default=0,
+                    help="row-chunk widened Gram contractions (single-"
+                         "chip escalated solves: bounds the TPU f64-"
+                         "emulation operand splits; see "
+                         "SolverConfig.rr_chunk_rows)")
     ap.add_argument("--x64", action="store_true",
                     help="enable jax_enable_x64 (required for float64 "
                          "RR math; f64 works on the axon TPU, "
@@ -98,6 +103,11 @@ def main() -> None:
     ap.add_argument("--donate", action="store_true",
                     help="donate X0 to the solve (frees 2 n*ss scalars "
                          "of HBM; X0 is rebuilt per repetition)")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the warm-up solve (escalated-f64 runs are "
+                         "~30 min per solve; the single timed rep then "
+                         "includes compile — use for convergence proofs, "
+                         "not wall-clock comparisons)")
     ap.add_argument("--reps", type=int, default=3,
                     help="timed repetitions; best (min) wall-clock is "
                          "reported — the remote TPU relay has ~2.5x "
@@ -193,6 +203,7 @@ def main() -> None:
                        dual_basis=not args.no_dual_basis,
                        gram_precision=args.gram_precision,
                        rr_dtype=args.rr_dtype,
+                       rr_chunk_rows=args.rr_chunk or None,
                        pack_applies=not args.no_pack,
                        ortho_skip=args.ortho_skip)
 
@@ -262,7 +273,8 @@ def main() -> None:
             lam = np.asarray(r.eigenvalues)
         return time.perf_counter() - t0, lam, r
 
-    one_solve()  # compile + warm-up
+    if not args.no_warmup:
+        one_solve()  # compile + warm-up
     walls = []
     for _ in range(max(1, args.reps)):
         wall, lam, r = one_solve()

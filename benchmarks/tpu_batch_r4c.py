@@ -11,9 +11,15 @@ Batch-2 findings this batch follows up (results_r4.jsonl):
   (3d2 0.794 vs 3b2 0.676 s/it) — confirming the phase-profile read.
 
 Experiments:
+  8a-8d  2M x 56 ss=64: pack on/off x pad on/off (iteration noise + the
+      pad fit at mid-scale; decides the pack_applies default)
+  6a3/6b3  wide-pencil escalation proof at 200k x 150 ss=256: the 1M
+      attempt's compile wanted 56.5 G HBM (mixed f32->f64 Gram converts
+      materialize tall f64 operands); 200k scales that to ~11.3 G.
+      6b3 is the f32 control (rr_dtype pinned to float32) — the proof
+      needs BOTH: f32 misconverges at width 768, escalated f64 RR
+      converges.
   2s  lane_spmd retry (now survives relay compile flakes per-section)
-  8a-8d  2M x 120 cheb-3: pack on/off x pad on/off (iteration noise + the
-      pad fit at mid-scale; peak at 2M x 128 lean ~ 5.3 GiB, plenty)
   5a2 (dual off, b on, ax off) anchor, pad off (batch-1 5a was padded)
   5k  lean pack-on pad-off anchor (batch-1 5g was padded)
   9   flagship lean with pack + --pad (does the 4M pad peak fit the
@@ -55,8 +61,11 @@ def mem(cfg: dict, extra=()) -> list[str]:
     return MEM + ["--tpu", "--config-json", json.dumps(cfg)] + list(extra)
 
 
+ESC_200K = ["--n", "200000", "--nev", "150", "--size-sub", "256",
+            "--donate", "--reps", "1", "--check",
+            "--no-b-cache", "--no-dual-basis"]
+
 EXPERIMENTS = [
-    ("2s", "lane_spmd_micro_retry2", LANE, 3000),
     ("8a", "2M56_pack_on_pad_off", SOLVE + FLAG_2M64 + LEAN, 2400),
     ("8b", "2M56_pack_off_pad_off",
      SOLVE + FLAG_2M64 + LEAN + ["--no-pack"], 2400),
@@ -64,6 +73,11 @@ EXPERIMENTS = [
      SOLVE + FLAG_2M64 + LEAN + ["--pad"], 2400),
     ("8d", "2M56_pack_off_pad_on",
      SOLVE + FLAG_2M64 + LEAN + ["--no-pack", "--pad"], 2400),
+    ("6a3", "200k150_ss256_x64_escalated",
+     SOLVE + ESC_200K + ["--x64", "--chunk", "10"], 3600),
+    ("6b3", "200k150_ss256_f32_control",
+     SOLVE + ESC_200K + ["--rr-dtype", "float32", "--chunk", "40"], 2400),
+    ("2s", "lane_spmd_micro_retry2", LANE, 3000),
     ("5a2", "mem_dualoff_b_on_ax_off_nopad",
      mem({"dual_basis": False, "use_ax_cache": False}), 2400),
     ("5k", "mem_lean_pack_on_nopad",

@@ -197,6 +197,17 @@ class SolverConfig:
     # Requires jax_enable_x64 for float64 to exist at all.
     rr_dtype: Optional[str] = None
 
+    # Row-chunk size for WIDENED (rr_dtype wider than storage) Gram
+    # contractions.  On TPU an f64-accumulated f32 dot is emulated by
+    # splitting both tall operands into stacked multi-pass components
+    # (~8x the operand bytes — a 57.4 GiB compile peak at the 1M x 256
+    # escalated solve, results_r4.jsonl exp 6p1M); chunking bounds the
+    # splits to [*, k, rr_chunk_rows] scan transients with an exact
+    # f64 k x k accumulator.  None/0 = off.  Set (e.g. 65536) for
+    # single-chip escalated solves; leave OFF for row-sharded solves
+    # (the chunking reshape conflicts with a sharded leading axis).
+    rr_chunk_rows: Optional[int] = None
+
     # Observability (reference: the int8 `verbosity` struct field gating
     # per-iteration printf, `src/core/lobpcg_impl.inc:89-90,118-124,
     # 230-238`).  0 = silent; 1 = per-iteration converged count + max

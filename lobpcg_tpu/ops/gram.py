@@ -147,14 +147,87 @@ def applied_blocks(op, blocks, pre=None, pack=True):
     return applied
 
 
+# Row-chunking for WIDENED-precision contractions (trace-time, like
+# _PRECISION).  Why: on TPU an f64-accumulated f32 dot is emulated by
+# splitting BOTH tall operands into stacked multi-pass components —
+# measured at the 1M x 256 escalated solve: loop-carried
+# f32[8, 256, 1M] + f32[8, 1M, 256] split stacks (7.63 GiB EACH) plus
+# bf16[4, 256, 1M] pass temps, for a 57.4 GiB compile peak on a 16 GB
+# chip (results_r4.jsonl exp 6p1M — serializing the dots did NOT remove
+# them; they are per-dot emulation operands, not dot-merger output).
+# Chunking the contraction over rows via lax.scan bounds the split
+# stacks to [*, k, chunk] — the k x k f64 accumulator is exact f64
+# accumulation, bit-comparable to the unchunked dot up to addition
+# order.  0 = off.  Do NOT enable on row-sharded solves: the [n, k] ->
+# [n/c, c, k] reshape conflicts with a sharded leading axis.
+_MIXED_CHUNK = [0]
+
+
+class mixed_chunk_ctx:
+    """Context manager: set the widened-Gram row-chunk size for any
+    tracing performed inside (restores the previous value on exit)."""
+
+    def __init__(self, rows):
+        self._new = int(rows or 0)
+
+    def __enter__(self):
+        self._old = _MIXED_CHUNK[0]
+        _MIXED_CHUNK[0] = self._new
+
+    def __exit__(self, *exc):
+        _MIXED_CHUNK[0] = self._old
+        return False
+
+
+def with_gram_ctx(fn):
+    """Decorator for solver impl functions (signature
+    ``fn(A, B, T, X0, key, config, *rest)``): applies the trace-time
+    Gram contexts — MXU precision and widened-Gram row chunking — from
+    ``config`` around the traced body, so DIRECT jit users of the impl
+    (mem_analysis, graft entries) get the same compiled program as the
+    public entry points."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(A, B, T, X0, key, config, *rest, **kw):
+        with precision_ctx(config.gram_precision), \
+                mixed_chunk_ctx(config.rr_chunk_rows):
+            return fn(A, B, T, X0, key, config, *rest, **kw)
+
+    return wrapped
+
+
 def _hdot(V: jax.Array, U: jax.Array, out_dtype=None) -> jax.Array:
     """V^H @ U with full-precision accumulation.
 
     `out_dtype` (mixed precision): accumulate the contraction in a higher
     precision via preferred_element_type — the tall inputs stay in their
     storage dtype in HBM; only the k x k result is high-precision.
+    Widened contractions row-chunk under `mixed_chunk_ctx` (see
+    _MIXED_CHUNK for the TPU f64-emulation memory rationale).
     """
     dt = jnp.dtype(out_dtype) if out_dtype is not None else U.dtype
+    c = _MIXED_CHUNK[0]
+    n = V.shape[0]
+    if c and dt != jnp.dtype(V.dtype) and n >= 2 * c:
+        num = n // c
+        Vr = V[: num * c].reshape(num, c, V.shape[1])
+        Ur = U[: num * c].reshape(num, c, U.shape[1])
+
+        def step(acc, vu):
+            v, u = vu
+            p = jnp.matmul(v.conj().T, u, precision=_PRECISION[0],
+                           preferred_element_type=dt)
+            return acc + p, None
+
+        acc = jnp.zeros((V.shape[1], U.shape[1]), dt)
+        acc, _ = jax.lax.scan(step, acc, (Vr, Ur))
+        if num * c < n:
+            acc = acc + jnp.matmul(
+                V[num * c:].conj().T, U[num * c:],
+                precision=_PRECISION[0], preferred_element_type=dt,
+            )
+        return acc
     return jnp.matmul(
         V.conj().T, U, precision=_PRECISION[0],
         preferred_element_type=dt,

@@ -27,6 +27,7 @@ from lobpcg_tpu.config import (
 from lobpcg_tpu.operators.linop import LinearOperator
 from lobpcg_tpu.ops import masking
 from lobpcg_tpu.ops.gram import (
+    with_gram_ctx,
     apply_block_op,
     apply_block_op_pair,
     b_mm,
@@ -66,6 +67,7 @@ class _Carry(NamedTuple):
     hist: object  # SolveHistory or None (static per config)
 
 
+@with_gram_ctx
 def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
                   p0_cnt=0, it_cap=None):
     n = A.shape[0]
@@ -342,6 +344,7 @@ def ilobpcg(
     from lobpcg_tpu.ops import gram
 
     # See solvers.lobpcg: precision is baked in at trace time.
-    with gram.precision_ctx(config.gram_precision):
+    with gram.precision_ctx(config.gram_precision), \
+            gram.mixed_chunk_ctx(config.rr_chunk_rows):
         r = fn(A, B, T, X0, key, config, P0, p0_cnt, it_cap)
     return r._replace(eigenvectors=r.basis[:, : config.nev])

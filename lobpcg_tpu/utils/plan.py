@@ -13,22 +13,28 @@ temp arena).  So planning uses TPU-compiled peaks, measured via
 compiled ilobpcg program), and a conservative default budget.
 
 Measured anchors (v5e, dim 4M x size_sub 64 f32, chunked + donated
-ilobpcg — benchmarks/results_r3.jsonl mem_*):
+ilobpcg, stencil pad_lanes OFF — benchmarks/results_r4.jsonl 5*,
+superseding the r3 set; every row below is measured, none interpolated):
 
-    dual_basis  b_cache  ax_cache   peak (GiB)  blocks of n*ss*4B
-    on          on       on         16.31       17.10  <- exceeds 16 GB!
-    on          off      on         16.31       17.10  (dual branch
-                                                        dominates: both
-                                                        lax.cond branches
-                                                        count)
-    off         on       on         14.39       15.09
-    off         off      on         10.58       11.09
-    off         off      off         8.67        9.09
+    dual  b_cache  ax_cache  pack   peak (GiB)  blocks   exp
+    on    on       on        either 16.31       17.10    5n / r3
+    on    off      on        on     16.31       17.10    5b2
+    on    on       off       on     15.40       16.15    5c2
+    on    off      off       on     15.39       16.13    5d2
+    off   on       on        on     14.39       15.09    5i
+    off   on       on        off    14.39       15.09    5j
+    off   on       off       on     12.49       13.09    5a2
+    off   off      on        on     13.44       14.09    5k
+    off   off      on        off    10.58       11.09    5l / r3
+    off   off      off       on     10.63       11.15    5m
+    off   off      off       off     8.67        9.09    r3
 
-The fit ladder mirrors the measured speed order at the 4M flagship
-(results_r3.jsonl 2r/3ar/4r, same session): full config fastest when it
-fits; then b-cache+dual off WITH the ax-cache (41.6 s); then all off
-(44.6 s).
+pack_applies is peak-FREE when a larger liveness set pins the peak
+(the dual branch or the b-cache's carried BX/BP/BW) and costs ~+2-3
+blocks when it is itself the high-water mark (lean/all-off rungs: the
+packed [n, 2m] pair transients).  The fit ladder mirrors the measured
+speed order at the 4M flagship: pack-on rungs first (0.676 vs 0.871
+s/it, results_r4 3b2/3c), then pack-off leaner rungs.
 
 Reference context: the reference sizes its workspace exactly and
 mallocs once (`/root/reference/lobpcg.h:586-686`); on TPU the analog is
@@ -43,19 +49,27 @@ from typing import Optional
 import numpy as np
 
 # Peak in units of one [n, size_sub] operator-dtype block, keyed by
-# (dual_basis, use_b_cache, use_ax_cache).  Measured points above;
-# unmeasured combinations are filled conservatively (dual_basis on
-# pins the peak at the dual branch's 15.94; ax-cache off saves the
-# ~1.86-block delta measured at (off, off, *)).
+# (dual_basis, use_b_cache, use_ax_cache, pack_applies).  All entries
+# measured (table above) except the dual-on pack-off rows, which reuse
+# the pack-on values (the dual branch pins the peak: 5n == r3's
+# pack-free 17.10 exactly, so pack is invisible under dual-on).
 PEAK_BLOCKS_TPU = {
-    (True, True, True): 17.10,
-    (True, False, True): 17.10,
-    (True, True, False): 17.10,
-    (True, False, False): 17.10,
-    (False, True, True): 15.09,
-    (False, True, False): 13.09,  # interpolated: 15.09 - ax delta
-    (False, False, True): 11.09,
-    (False, False, False): 9.09,
+    (True, True, True, True): 17.10,
+    (True, True, True, False): 17.10,
+    (True, False, True, True): 17.10,
+    (True, False, True, False): 17.10,
+    (True, True, False, True): 16.15,
+    (True, True, False, False): 16.15,
+    (True, False, False, True): 16.13,
+    (True, False, False, False): 16.13,
+    (False, True, True, True): 15.09,
+    (False, True, True, False): 15.09,
+    (False, True, False, True): 13.09,
+    (False, True, False, False): 13.09,
+    (False, False, True, True): 14.09,
+    (False, False, True, False): 11.09,
+    (False, False, False, True): 11.15,
+    (False, False, False, False): 9.09,
 }
 
 # The grant to assume when none is given: v5e chips have 16 GB, but the
@@ -66,16 +80,20 @@ DEFAULT_BUDGET_GB = 12.0
 # Knob combinations in measured wall-clock order (fastest first) at the
 # 4M x 56 flagship; each entry overrides SolverConfig fields.  The
 # dual-off-only rung keeps both caches (the r3 phase profile's fastest
-# Gram path) at 15.09 blocks — its end-to-end wall-clock is unmeasured
-# (the r3 session's grant sat below its 14.39 GiB peak) but it strictly
-# dominates rung 2 per-iteration; dual_basis only matters for
-# ill-conditioned B, where the caller should pass it explicitly and
-# accept the sharded path if the full config does not fit.
+# Gram path) at 15.09 blocks; pack-on rungs precede pack-off ones
+# (0.676 vs 0.871 s/it, results_r4.jsonl 3b2/3c); dual_basis only
+# matters for ill-conditioned B, where the caller should pass it
+# explicitly and accept the sharded path if the full config does not
+# fit.  Ladder: full -> dual off -> lean (b-cache+dual off) -> all
+# caches off -> lean pack off -> all off pack off.
 _LADDER = (
     {},
     {"dual_basis": False},
     {"use_b_cache": False, "dual_basis": False},
     {"use_b_cache": False, "dual_basis": False, "use_ax_cache": False},
+    {"use_b_cache": False, "dual_basis": False, "pack_applies": False},
+    {"use_b_cache": False, "dual_basis": False, "use_ax_cache": False,
+     "pack_applies": False},
 )
 
 
@@ -84,13 +102,15 @@ def estimate_peak_gb(n: int, size_sub: int, dtype, config) -> float:
 
     Scales the measured 4M x 64 f32 anchors by the block size
     n * size_sub * itemsize.  k x k Gram/RR scratch is negligible
-    (< 20 MB at size_sub 256) and not modeled; rr_dtype='float64' adds
-    only k x k-scale buffers.  Accuracy is what the anchors give:
-    exact at the measured corner, proportional elsewhere — use a
-    margin, don't run at 99% of a grant.
+    (< 20 MB at size_sub 256) and not modeled; rr_dtype='float64' with
+    rr_chunk_rows set adds only chunk-scale buffers (WITHOUT
+    rr_chunk_rows the TPU f64-emulation splits tall operands ~8x —
+    see SolverConfig.rr_chunk_rows — which this model does NOT cover).
+    Accuracy is what the anchors give: exact at the measured corner,
+    proportional elsewhere — use a margin, don't run at 99% of a grant.
     """
     key = (bool(config.dual_basis), bool(config.use_b_cache),
-           bool(config.use_ax_cache))
+           bool(config.use_ax_cache), bool(config.pack_applies))
     block_gb = n * size_sub * np.dtype(dtype).itemsize / (1 << 30)
     return PEAK_BLOCKS_TPU[key] * block_gb
 
@@ -105,8 +125,8 @@ def plan_config(
 ):
     """Return the fastest-known variant of `config` whose estimated
     peak fits ``margin * hbm_gb``, walking the measured speed ladder
-    (full -> dual off -> b-cache+dual off -> + ax-cache off, matching
-    _LADDER).
+    (full -> dual off -> b-cache+dual off -> + ax-cache off -> lean
+    pack off -> all off pack off, matching _LADDER).
 
     Knobs the caller already disabled stay disabled.  Raises
     ``ValueError`` if even the leanest configuration does not fit —
@@ -117,7 +137,8 @@ def plan_config(
     for rung in _LADDER:
         # Never re-enable a knob the caller turned off.
         kw = dict(rung)
-        for field in ("use_b_cache", "dual_basis", "use_ax_cache"):
+        for field in ("use_b_cache", "dual_basis", "use_ax_cache",
+                      "pack_applies"):
             if not getattr(config, field):
                 kw[field] = False
         cand = dataclasses.replace(config, **kw)

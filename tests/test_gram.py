@@ -81,3 +81,43 @@ def test_ortho_err_signature_diag():
 def test_ortho_err_respects_mask():
     G = jnp.eye(4).at[3, 3].set(7.0).at[2, 3].set(5.0)
     assert float(ortho_err(G, 3)) < 1e-14
+
+
+def test_mixed_chunk_hdot_matches_unchunked():
+    """Row-chunked widened Grams (mixed_chunk_ctx: the TPU f64-emulation
+    memory fix) accumulate the same f64 values as the unchunked dot up
+    to addition order, handle the non-divisible-row remainder, and stay
+    off for non-widened dots and sub-threshold sizes."""
+    import jax
+
+    from lobpcg_tpu.ops.gram import gram_self, mixed_chunk_ctx
+
+    n, k = 1000, 6  # 1000 = 7*128 + 104: exercises the remainder path
+    U = rand_block(21, n, k, jnp.float32)
+    ref = np.asarray(gram_self(U, out_dtype=jnp.float64))
+    assert ref.dtype == np.float64
+
+    with mixed_chunk_ctx(128):
+        chunked = np.asarray(gram_self(U, out_dtype=jnp.float64))
+        # Also under jit (scan + remainder must trace).
+        jitted = np.asarray(
+            jax.jit(lambda u: gram_self(u, out_dtype=jnp.float64))(U)
+        )
+        # Non-widened dot: chunking must NOT engage (bit-identical to
+        # the plain matmul).
+        plain = np.asarray(gram_self(U))
+        n_small = np.asarray(gram_self(U[:100], out_dtype=jnp.float64))
+    np.testing.assert_allclose(chunked, ref, rtol=1e-14, atol=1e-12)
+    np.testing.assert_allclose(jitted, ref, rtol=1e-14, atol=1e-12)
+    np.testing.assert_array_equal(plain, np.asarray(gram_self(U)))
+    np.testing.assert_allclose(
+        n_small, np.asarray(gram_self(U[:100], out_dtype=jnp.float64)),
+        rtol=1e-14,
+    )
+
+    # Complex widening path (c64 storage -> c128 accumulate).
+    Uc = rand_block(22, 300, 4, jnp.complex64)
+    refc = np.asarray(gram_self(Uc, out_dtype=jnp.complex128))
+    with mixed_chunk_ctx(64):
+        chc = np.asarray(gram_self(Uc, out_dtype=jnp.complex128))
+    np.testing.assert_allclose(chc, refc, rtol=1e-13, atol=1e-12)

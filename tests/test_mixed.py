@@ -111,3 +111,26 @@ def test_mixed_vs_pure_consistency(rr_dtype):
     r = lobpcg(A, rand_block(2, n, ss, jnp.float32), config=cfg)
     exact = np.sort(np.linalg.eigvalsh(A_np))[:nev]
     np.testing.assert_allclose(np.asarray(r.eigenvalues), exact, rtol=1e-4)
+
+
+def test_ilobpcg_rr_chunk_rows_end_to_end():
+    """rr_chunk_rows (the TPU f64-emulation memory fix) solves the BdG
+    mixed-precision pencil to the same eigenvalues as the unchunked
+    escalated path — including a non-divisible chunk remainder."""
+    m, nev, ss = 100, 3, 6  # n = 200 rows -> chunks of 64 + remainder 8
+    A, B = bdg_ops(m, jnp.float32)
+    X0 = bdg_positive_init(42, m, ss, jnp.float32)
+    base = SolverConfig(nev=nev, size_sub=ss, tol=1e-4, max_iter=300,
+                        rr_dtype="float64")
+    chunked = SolverConfig(nev=nev, size_sub=ss, tol=1e-4, max_iter=300,
+                           rr_dtype="float64", rr_chunk_rows=64)
+    r0 = ilobpcg(A, X0, B, config=base)
+    r1 = ilobpcg(A, X0, B, config=chunked)
+    exact = laplacian_exact(np.arange(1, nev + 1))
+    rel = np.abs(np.asarray(r1.eigenvalues) - exact) / exact
+    assert np.all(rel < 1e-2), rel
+    # Chunking changes f64-accumulation ADDITION ORDER, which nudges the
+    # f32 solve trajectory; eigenvalues agree at solve accuracy, not ulp.
+    np.testing.assert_allclose(
+        np.asarray(r1.eigenvalues), np.asarray(r0.eigenvalues), rtol=1e-5
+    )

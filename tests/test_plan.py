@@ -15,14 +15,20 @@ def _cfg(**kw):
 
 
 def test_peak_matches_measured_anchors():
-    # v5e-measured peaks at dim 4M x 64 f32 (results_r3.jsonl mem_*).
+    # v5e-measured peaks at dim 4M x 64 f32, pad off
+    # (results_r4.jsonl 5* — the pack_applies-aware r4 set).
     for kw, gb in [
         (dict(), 16.31),
         (dict(use_b_cache=False), 16.31),
         (dict(dual_basis=False), 14.39),
-        (dict(use_b_cache=False, dual_basis=False), 10.58),
+        (dict(dual_basis=False, use_ax_cache=False), 12.49),
+        (dict(use_b_cache=False, dual_basis=False), 13.44),
+        (dict(use_b_cache=False, dual_basis=False, pack_applies=False),
+         10.58),
         (dict(use_b_cache=False, dual_basis=False, use_ax_cache=False),
-         8.67),
+         10.63),
+        (dict(use_b_cache=False, dual_basis=False, use_ax_cache=False,
+              pack_applies=False), 8.67),
     ]:
         est = estimate_peak_gb(4_000_000, 64, jnp.float32, _cfg(**kw))
         assert est == pytest.approx(gb, rel=0.01), (kw, est)
@@ -55,14 +61,17 @@ def test_plan_dual_off_rung_keeps_both_caches():
 
 
 def test_plan_drops_knobs_in_measured_speed_order():
-    # 4M x 64 at a 12 GB budget: only the b+dual-off rungs fit; the
-    # ax-cache must survive (it was measured faster, 41.6 vs 44.6 s).
+    # 4M x 64 at a 12 GB budget: the lean pack-on rung (13.44 GiB) no
+    # longer fits; the next-fastest fitting rung is all-caches-off with
+    # packing KEPT (10.63 GiB — kernel-rate applies beat the jnp
+    # fallback, results_r4 3b2/3c).
     planned = plan_config(_cfg(), 4_000_000, jnp.float32, hbm_gb=12.0)
     assert not planned.use_b_cache and not planned.dual_basis
-    assert planned.use_ax_cache
-    # Tighter budget: the leanest rung.
+    assert not planned.use_ax_cache
+    assert planned.pack_applies
+    # Tighter budget: the leanest rung drops packing too (8.67 GiB).
     lean = plan_config(_cfg(), 4_000_000, jnp.float32, hbm_gb=9.2)
-    assert not lean.use_ax_cache
+    assert not lean.use_ax_cache and not lean.pack_applies
 
 
 def test_plan_respects_caller_disabled_knobs():
