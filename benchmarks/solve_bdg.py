@@ -130,6 +130,10 @@ def main() -> None:
                          "peak at the 4M x 64 lean rung, results_r4 5e-5h)")
     ap.add_argument("--no-pad", action="store_true",
                     help=argparse.SUPPRESS)  # legacy; padding is now opt-in
+    ap.add_argument("--stall-reset", type=int, default=0,
+                    help="perturb W after this many non-improving "
+                         "iterations (0 = off; see "
+                         "SolverConfig.stall_reset)")
     ap.add_argument("--chunk", type=int, default=0,
                     help="split the solve into warm-restarted launches "
                          "of this many iterations (one compile; the "
@@ -205,7 +209,8 @@ def main() -> None:
                        rr_dtype=args.rr_dtype,
                        rr_chunk_rows=args.rr_chunk or None,
                        pack_applies=not args.no_pack,
-                       ortho_skip=args.ortho_skip)
+                       ortho_skip=args.ortho_skip,
+                       stall_reset=args.stall_reset)
 
     if args.realify:
         import jax as _jax
@@ -308,6 +313,7 @@ def main() -> None:
         "pack_applies": not args.no_pack,
         "pad_lanes": args.pad and not args.no_pad,
         "ortho_skip": args.ortho_skip,
+        "stall_reset": args.stall_reset,
         "rr_dtype": str(cfg.resolved_rr_dtype(dtype)),
         "device": str(jax.devices()[0].device_kind),
     }

@@ -47,6 +47,13 @@ QUALITY_TOL = {
     jnp.dtype(jnp.complex128): 1e-12,
 }
 
+# Relative magnitude of the stall-reset perturbation (see
+# SolverConfig.stall_reset): each active W column gets noise of
+# STALL_NOISE x its own norm — large enough to rotate a degenerate
+# direction out of the failing configuration, small enough to keep the
+# residual information that drives convergence.
+STALL_NOISE = 1e-2
+
 # Projected-pencil width (3 * size_sub) beyond which single-precision
 # Gram/RR math is auto-escalated to float64: the f32 KPS reduction was
 # observed to misconverge at width 768 (1M x 150, size_sub 256 —
@@ -186,6 +193,22 @@ class SolverConfig:
     # iterations would skip.
     ortho_skip: bool = False
 
+    # Stagnation stabilizer (ilobpcg; VERDICT r4 ask 4 — beyond the
+    # reference, whose driver thrashes identically near the f32
+    # convergence floor, `ilobpcg_impl.inc:228-256`): when the converged
+    # prefix has not grown for this many consecutive iterations (an
+    # rr-failed iteration jumps the counter straight to the threshold),
+    # the next iteration perturbs W with COLUMN-NORM-SCALED noise
+    # (STALL_NOISE x ||w_j|| per column) before orthogonalization,
+    # breaking the deterministic discard-and-rebuild cycle that r4
+    # measured at 5.6x iteration spread across bit-different programs
+    # (results_r4.jsonl 8a-8d: 34 vs 192 iterations, 8 rr_fails).
+    # Dead (masked) columns have zero norm, so the scaling preserves
+    # the exact-zero invariant with no extra masking copy.  0 = off
+    # (reference-parity behavior; the perturbation branch is compiled
+    # out entirely).
+    stall_reset: int = 0
+
     # Mixed precision (BASELINE.json config "mixed float/double"): when
     # set (e.g. "float64"), the k x k Gram matrices are *accumulated* in
     # this precision (preferred_element_type on the contraction — the
@@ -237,6 +260,10 @@ class SolverConfig:
             )
         if self.norm_block < 1:
             raise ValueError(f"norm_block must be >= 1: {self.norm_block}")
+        if self.stall_reset < 0:
+            raise ValueError(
+                f"stall_reset must be >= 0: {self.stall_reset}"
+            )
 
     def resolved_eps(self, dtype) -> tuple[float, float]:
         e = eps_tol(dtype)

@@ -64,6 +64,8 @@ class _Carry(NamedTuple):
     p_cnt: jax.Array  # i32 — valid P columns (0 after an rr-fail reset)
     q5: jax.Array  # i32 — quality=5 dual-basis iterations
     rr_fail: jax.Array  # i32 — failed projected pencil solves
+    stall: jax.Array  # i32 — iterations without convergence progress
+    res_best: jax.Array  # best (lowest) max-residual seen, for stall
     hist: object  # SolveHistory or None (static per config)
 
 
@@ -79,7 +81,7 @@ def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
     tn = tiny(dtype if rrdt is None else rrdt)
     qt = quality_tol(dtype)
 
-    k_a, k_b, k_x, k_r = jax.random.split(key, 4)
+    k_a, k_b, k_x, k_r, k_stall = jax.random.split(key, 5)
     a_norm = estimate_norm(A, k_a, config.norm_iters, config.norm_block)
     b_norm = estimate_norm(B, k_b, config.norm_iters, config.norm_block)
 
@@ -120,7 +122,8 @@ def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
     warm_p = jnp.int32(p0_cnt) if P0 is not None else jnp.int32(0)
     carry0 = _Carry(
         X, P_init, W, AX, lam0, sig0, res, jnp.int32(0), jnp.int32(0),
-        warm_p, jnp.int32(0), (~rr_ok0).astype(jnp.int32), hist0
+        warm_p, jnp.int32(0), (~rr_ok0).astype(jnp.int32), jnp.int32(0),
+        jnp.max(res), hist0
     )
 
     # Runtime iteration cap (see solvers.lobpcg): traced, so chunked
@@ -139,6 +142,30 @@ def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
         np_act = jnp.minimum(c.p_cnt, m - c.conv)
         nw = jnp.where(it0, jnp.int32(m), m - c.conv)
         W = c.W
+
+        # Stagnation stabilizer (SolverConfig.stall_reset): perturb W
+        # with column-norm-scaled noise when the solve has thrashed —
+        # near the f32 floor a failed pencil solve discards the
+        # iteration and rebuilds W from X deterministically, so without
+        # a perturbation the retry can cycle (r4 quartet: 34 vs 192
+        # iterations for bit-different programs of the same problem).
+        # Column scaling keeps dead (zero) columns exactly zero.
+        tripped = jnp.bool_(False)
+        if config.stall_reset:
+            tripped = c.stall >= config.stall_reset
+
+            def perturb(W):
+                from lobpcg_tpu.config import STALL_NOISE
+
+                z = fill_random(
+                    jax.random.fold_in(k_stall, c.it), (n, m), dtype
+                )
+                nrm = jnp.sqrt(
+                    jnp.sum(jnp.abs(W) ** 2, axis=0, keepdims=True)
+                ).astype(dtype)
+                return W + z * (STALL_NOISE * nrm)
+
+            W = jax.lax.cond(tripped, perturb, lambda w: w, W)
 
         if T is not None:
             W = masking.mask_cols(T.matmat(W), nw)
@@ -249,9 +276,30 @@ def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
         Wc = masking.shift_cols(Wres, convn, act)
 
         observe.log_iteration(config, "ilobpcg", c.it, lam_n, res, convn)
-        flag = rr.quality + 8 * (~rr.rr_ok).astype(jnp.int32)
+        flag = (
+            rr.quality + 8 * (~rr.rr_ok).astype(jnp.int32)
+            + 16 * tripped.astype(jnp.int32)
+        )
         hist = observe.history_update(
             c.hist, c.it, lam_n, res, convn, flag
+        )
+        # Stall accounting.  Progress = the converged prefix grew OR the
+        # worst residual improved geometrically (10%) on the best seen —
+        # healthy solves reduce residuals every iteration, so legitimate
+        # pre-convergence plateaus of the PREFIX never count as stall.
+        # Reset on progress or after a perturbation fired (so it cannot
+        # fire every iteration); an rr-failed iteration jumps straight
+        # to the threshold — the very next iteration perturbs instead
+        # of replaying the failed deterministic rebuild.
+        res_max = jnp.max(res)
+        improved = (convn > c.conv) | (res_max < 0.9 * c.res_best)
+        K = jnp.int32(max(config.stall_reset, 1))
+        stall_n = jnp.where(
+            improved | tripped,
+            jnp.int32(0),
+            jnp.minimum(
+                c.stall + 1 + K * (~rr.rr_ok).astype(jnp.int32), 2 * K
+            ),
         )
         return _Carry(
             Xn, Pc, Wc, AXn, lam_n, sig_n, res, convn, c.it + 1, p_next,
@@ -260,7 +308,7 @@ def _ilobpcg_impl(A, B, T, X0, key, config: SolverConfig, P0=None,
             # path — gate on rr_ok so the counters don't double-count.
             c.q5 + ((rr.quality == 5) & rr.rr_ok).astype(jnp.int32),
             c.rr_fail + (~rr.rr_ok).astype(jnp.int32),
-            hist
+            stall_n, jnp.minimum(c.res_best, res_max), hist
         )
 
     cf = jax.lax.while_loop(cond, body, carry0)

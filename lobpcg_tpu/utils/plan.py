@@ -13,17 +13,23 @@ temp arena).  So planning uses TPU-compiled peaks, measured via
 compiled ilobpcg program), and a conservative default budget.
 
 Measured anchors (v5e, dim 4M x size_sub 64 f32, chunked + donated
-ilobpcg, stencil pad_lanes OFF — benchmarks/results_r4.jsonl 5*,
-superseding the r3 set; every row below is measured, none interpolated):
+ilobpcg, stencil pad_lanes OFF — benchmarks/results_r4.jsonl 5* plus
+the round-5 m1-m5 completions; every row below is measured, none
+interpolated or assumed):
 
     dual  b_cache  ax_cache  pack   peak (GiB)  blocks   exp
-    on    on       on        either 16.31       17.10    5n / r3
+    on    on       on        on     16.31       17.10    5n / r3
+    on    on       on        off    16.31       17.10    m1
     on    off      on        on     16.31       17.10    5b2
+    on    off      on        off    16.31       17.10    m2
     on    on       off       on     15.40       16.15    5c2
+    on    on       off       off    15.39       16.13    m3
     on    off      off       on     15.39       16.13    5d2
+    on    off      off       off    15.39       16.13    m4
     off   on       on        on     14.39       15.09    5i
     off   on       on        off    14.39       15.09    5j
     off   on       off       on     12.49       13.09    5a2
+    off   on       off       off    12.49       13.09    m5
     off   off      on        on     13.44       14.09    5k
     off   off      on        off    10.58       11.09    5l / r3
     off   off      off       on     10.63       11.15    5m
@@ -49,17 +55,17 @@ from typing import Optional
 import numpy as np
 
 # Peak in units of one [n, size_sub] operator-dtype block, keyed by
-# (dual_basis, use_b_cache, use_ax_cache, pack_applies).  All entries
-# measured (table above) except the dual-on pack-off rows, which reuse
-# the pack-on values (the dual branch pins the peak: 5n == r3's
-# pack-free 17.10 exactly, so pack is invisible under dual-on).
+# (dual_basis, use_b_cache, use_ax_cache, pack_applies).  All sixteen
+# entries measured (table above; the r4-assumed dual-on pack-off rows
+# were measured in round 5, exps m1-m5, and confirmed the dual branch
+# pins the peak — pack is invisible under dual-on to within 0.02 GiB).
 PEAK_BLOCKS_TPU = {
     (True, True, True, True): 17.10,
     (True, True, True, False): 17.10,
     (True, False, True, True): 17.10,
     (True, False, True, False): 17.10,
     (True, True, False, True): 16.15,
-    (True, True, False, False): 16.15,
+    (True, True, False, False): 16.13,
     (True, False, False, True): 16.13,
     (True, False, False, False): 16.13,
     (False, True, True, True): 15.09,
@@ -71,6 +77,28 @@ PEAK_BLOCKS_TPU = {
     (False, False, False, True): 11.15,
     (False, False, False, False): 9.09,
 }
+
+# Stencil pad-to-128-lanes (Laplacian1D.pad_lanes) peak surcharge, in
+# units of one [n, extra_width] operator-dtype block where extra_width =
+# pad_target - size_sub.  Measured at 4M x 64 f32 (extra width 64,
+# results_r4.jsonl 5e-5h vs the nopad 5i-5l rows), keyed like
+# PEAK_BLOCKS_TPU on (dual_basis, use_b_cache, use_ax_cache,
+# pack_applies); unmeasured keys assume the worst measured surcharge
+# (5.0 — lean pack-off, where the padded apply transients ARE the
+# high-water mark).
+PAD_EXTRA_BLOCKS_TPU = {
+    (False, True, True, False): 3.0,
+    (False, True, True, True): 4.07,
+    (False, False, True, True): 2.0,
+    (False, False, True, False): 5.0,
+}
+_PAD_EXTRA_DEFAULT = 5.0
+
+
+def _pad_target(size_sub: int) -> int:
+    """Lane width the stencil pad path pads a sub-multiple block to."""
+    return -(-size_sub // 128) * 128
+
 
 # The grant to assume when none is given: v5e chips have 16 GB, but the
 # observed per-program usable ceiling on the shared relay sits lower
@@ -97,7 +125,8 @@ _LADDER = (
 )
 
 
-def estimate_peak_gb(n: int, size_sub: int, dtype, config) -> float:
+def estimate_peak_gb(n: int, size_sub: int, dtype, config,
+                     pad_lanes: bool = False) -> float:
     """TPU-compiled peak estimate for an ilobpcg/lobpcg solve.
 
     Scales the measured 4M x 64 f32 anchors by the block size
@@ -106,13 +135,22 @@ def estimate_peak_gb(n: int, size_sub: int, dtype, config) -> float:
     rr_chunk_rows set adds only chunk-scale buffers (WITHOUT
     rr_chunk_rows the TPU f64-emulation splits tall operands ~8x —
     see SolverConfig.rr_chunk_rows — which this model does NOT cover).
-    Accuracy is what the anchors give: exact at the measured corner,
-    proportional elsewhere — use a margin, don't run at 99% of a grant.
+    ``pad_lanes``: include the stencil pad-to-128 surcharge (measured
+    deltas, PAD_EXTRA_BLOCKS_TPU).  Accuracy is what the anchors give:
+    exact at the measured corner, proportional elsewhere — use a
+    margin, don't run at 99% of a grant.
     """
     key = (bool(config.dual_basis), bool(config.use_b_cache),
            bool(config.use_ax_cache), bool(config.pack_applies))
-    block_gb = n * size_sub * np.dtype(dtype).itemsize / (1 << 30)
-    return PEAK_BLOCKS_TPU[key] * block_gb
+    itemsize = np.dtype(dtype).itemsize
+    block_gb = n * size_sub * itemsize / (1 << 30)
+    peak = PEAK_BLOCKS_TPU[key] * block_gb
+    if pad_lanes and size_sub % 128:
+        extra_w = _pad_target(size_sub) - size_sub
+        extra_block_gb = n * extra_w * itemsize / (1 << 30)
+        peak += PAD_EXTRA_BLOCKS_TPU.get(
+            key, _PAD_EXTRA_DEFAULT) * extra_block_gb
+    return peak
 
 
 def plan_config(
