@@ -35,8 +35,13 @@ from tpu_batch_r5a import SOLVE, record, run_experiments, wait_for_backend
 REPO = pathlib.Path(__file__).resolve().parents[1]
 CHECKER = [sys.executable, str(REPO / "benchmarks" / "stencil_check.py")]
 
+# --chunk 20: the relay kills single device launches running longer
+# than ~1 min (d1's unchunked 300-iteration launch died with "TPU
+# worker process crashed"); warm-restarted 20-iteration launches share
+# one compile.
 COMMON = ["--nev", "150", "--tol", "1e-5", "--max-iter", "300",
-          "--reps", "1", "--no-warmup", "--check", "--donate"]
+          "--reps", "1", "--no-warmup", "--check", "--donate",
+          "--chunk", "20"]
 LEAN = ["--no-b-cache", "--no-dual-basis"]
 
 
@@ -44,10 +49,20 @@ def solve(n, ss, *extra):
     return SOLVE + ["--n", str(n), "--size-sub", str(ss)] + COMMON + list(extra)
 
 
+LINALG = [sys.executable, str(REPO / "benchmarks" / "linalg_check.py")]
+
 EXPERIMENTS = [
-    ("d0", "stencil_pallas_vs_jnp_200k", CHECKER + ["--n", "200000"], 2400),
+    # d0/d0x (k 128/256 exact; k=512 crashed the worker with a Mosaic
+    # kernel fault) ran in the first launch of this batch; the crashing
+    # widths are probed LAST (dX) so a sick worker cannot poison the
+    # solve experiments.
+    ("d0", "stencil_pallas_vs_jnp_200k",
+     CHECKER + ["--n", "200000", "--widths", "128,256"], 2400),
     ("d0x", "stencil_pallas_vs_jnp_200k_x64",
-     CHECKER + ["--n", "200000", "--x64"], 2400),
+     CHECKER + ["--n", "200000", "--widths", "128,256", "--x64"], 2400),
+    # k x k linalg accuracy at the pencil widths (cholesky/trsm default-
+    # precision-dot hypothesis; cheap and maximally discriminating).
+    ("d8", "kxk_linalg_f32_accuracy", LINALG, 2400),
     ("d1", "20k150_ss256_f32_default_flags", solve(20000, 256), 2400),
     ("d2", "20k150_ss256_f32_lean_flags", solve(20000, 256, *LEAN), 2400),
     ("d6", "20k150_ss256_x64_escalated_default",
@@ -55,6 +70,8 @@ EXPERIMENTS = [
     ("d3", "20k150_ss164_f32_control", solve(20000, 164), 2400),
     ("d4", "200k150_ss250_f32_lean_jnp_path", solve(200000, 250, *LEAN), 2400),
     ("d5", "200k150_ss256_f32_default_flags", solve(200000, 256), 2400),
+    ("dX", "stencil_pallas_512_768_probe",
+     CHECKER + ["--n", "200000", "--widths", "512,768"], 2400),
     ("d7", "200k150_ss256_x64_escalated_default",
      solve(200000, 256, "--x64", "--rr-chunk", "32768", "--chunk", "5"),
      9000),
