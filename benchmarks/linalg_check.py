@@ -32,19 +32,24 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
-def spd_with_clustered_spectrum(k: int, rng) -> np.ndarray:
-    """SPD f64 matrix shaped like the projected pencil's M: eigenvalues
-    in [0.55, 1.0] with ~1e-5-relative near-degenerate pairs (the well's
-    low modes)."""
-    mu = np.linspace(0.55, 1.0, k)
+def spd_with_clustered_spectrum(k: int, rng, cond: float) -> np.ndarray:
+    """SPD f64 matrix shaped like a Jacobi-scaled projected Gram:
+    eigenvalues logspaced in [1/cond, 1] with ~1e-5-relative
+    near-degenerate pairs (the well's low modes).  `cond` matters: the
+    bf16-internal-dot hypothesis predicts failure only beyond a
+    condition ceiling near 1/eps_bf16 ~ 1e2-1e3 (a cond-1.8 matrix
+    factors fine in any precision — the first version of this probe
+    measured exactly that and discriminated nothing)."""
+    mu = np.logspace(-np.log10(cond), 0.0, k)
     mu[1::2] = mu[0::2][: mu[1::2].size] * (1 + 2.8e-5)  # clustered pairs
     Q, _ = np.linalg.qr(rng.randn(k, k))
-    return (Q * mu) @ Q.T, mu, Q
+    return (Q * mu) @ Q.T, np.sort(mu), Q
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--widths", default="192,492,768")
+    ap.add_argument("--conds", default="1e2,1e4,1e6")
     args = ap.parse_args()
 
     import jax
@@ -52,8 +57,13 @@ def main() -> None:
     from jax.scipy.linalg import solve_triangular
 
     rng = np.random.RandomState(0)
-    for k in (int(w) for w in args.widths.split(",")):
-        G64, mu, Q = spd_with_clustered_spectrum(k, rng)
+    cases = [
+        (k, c)
+        for k in (int(w) for w in args.widths.split(","))
+        for c in (float(c) for c in args.conds.split(","))
+    ]
+    for k, cond in cases:
+        G64, mu, Q = spd_with_clustered_spectrum(k, rng, cond)
         G = jnp.asarray(G64, jnp.float32)
         b64 = rng.randn(k, 8)
         b = jnp.asarray(b64, jnp.float32)
@@ -86,13 +96,17 @@ def main() -> None:
             eig_res = (
                 np.linalg.norm(G64 @ V - V * w) / np.linalg.norm(G64)
             )
+            def fin(x):  # NaN (failed potrf) -> None, JSON-safe
+                x = float(x)
+                return x if np.isfinite(x) else None
+
             print(json.dumps({
                 "metric": "kxk_linalg_f32_accuracy",
-                "k": k, "precision_mode": mode,
-                "chol_rel_err": float(chol_err),
-                "trsm_rel_err": float(trsm_err),
-                "eigh_val_rel_err": eig_val_err,
-                "eigh_residual": float(eig_res),
+                "k": k, "cond": cond, "precision_mode": mode,
+                "chol_rel_err": fin(chol_err),
+                "trsm_rel_err": fin(trsm_err),
+                "eigh_val_rel_err": fin(eig_val_err),
+                "eigh_residual": fin(eig_res),
                 "backend": jax.default_backend(),
                 "device": str(jax.devices()[0].device_kind),
             }), flush=True)

@@ -126,6 +126,13 @@ def applied_blocks(op, blocks, pre=None, pack=True):
     gram_blocks); a packed pair holds one [n, 2m] transient instead —
     same bytes as the two singles combined, +1 block of peak vs the
     strictly-sequential schedule.
+
+    Known limitation (ADVICE r4): only ADJACENT todo entries pair up,
+    so with the AX cache disabled the (X, P, W) todo list packs (X, P)
+    and leaves W on the sub-128 fallback every iteration.  Kept simple
+    deliberately: ax_cache is on by default (todo is then (P, W), which
+    packs), and a best-fit matcher would buy nothing on every
+    configuration measured so far.
     """
     pre = pre or {}
     n_b = len(blocks)

@@ -148,7 +148,9 @@ def indefinite_rayleigh_ritz_modified(
     GA = masking.inject_diag(GA, live, 1.0)
     GB = masking.inject_diag(GB, live, 1.0)
 
-    lam_all, V, rr_ok = pencil_eig(GA, GB, method=method, tiny=tiny)
+    lam_all, V, rr_ok = pencil_eig(
+        GA, GB, method=method, tiny=tiny, live=live
+    )
 
     # Double B-normalization (`indefinite_rr_modified_impl.inc:141-180`).
     V, _ = _b_normalize(V, GB, tiny)

@@ -122,8 +122,8 @@ def _svqb_inner_loop(
     return U, BU, nu
 
 
-def _entry_state(U, nu, B, vb, Bvb, BV_norm, eps_ortho, rr_dtype, *,
-                 indefinite):
+def _entry_state(U, nu, B, vb, Bvb, BV_norm, eps_ortho, eps_drop,
+                 rr_dtype, *, indefinite):
     """ortho_skip entry check (VERDICT r3 ask 3): is U already
     B-orthonormal up to COLUMN SCALING, and B-orthogonal to V?
 
@@ -135,6 +135,14 @@ def _entry_state(U, nu, B, vb, Bvb, BV_norm, eps_ortho, rr_dtype, *,
     (U_scaled, B@U_scaled, skip) — on skip the caller's loop never runs
     and the scaled U (with its matching BU) is the result.  Cost when
     not skipped: one B application + two k x k contractions.
+
+    Degenerate-column floor (ADVICE r4): the 1/sqrt(|G_ii|) scaling
+    amplifies a near-B-null column by a huge factor, and if the scaled
+    Gram then happens to pass the eps_ortho test the skip would bypass
+    the SVQB eps_drop machinery that exists to DROP such columns — so
+    the skip additionally requires every live |G_ii| to sit above an
+    eps_drop-scale floor relative to the largest; otherwise fall
+    through to the full pass.
     """
     BU = apply_block_op(B, U)
     G = _hdot(U, BU, rr_dtype)
@@ -142,7 +150,14 @@ def _entry_state(U, nu, B, vb, Bvb, BV_norm, eps_ortho, rr_dtype, *,
     Dc = D.astype(U.dtype)
     U = U * Dc[None, :]  # dead cols: guarded D = 1, stay exactly zero
     BU = BU * Dc[None, :]
-    ok_self = _inner_err_ok(
+    gd = jnp.abs(jnp.diagonal(G))
+    live = (
+        jax.lax.broadcasted_iota(jnp.int32, gd.shape, 0) < jnp.int32(nu)
+    )
+    gmax = jnp.max(jnp.where(live, gd, 0.0))
+    gmin = jnp.min(jnp.where(live, gd, jnp.inf))
+    floor_ok = gmin >= eps_drop * gmax  # vacuously true when nu == 0
+    ok_self = floor_ok & _inner_err_ok(
         U, BU, Gs, nu, B, eps_ortho, indefinite=indefinite
     )
     coef = (
@@ -231,7 +246,7 @@ def ortho_drop(
         # skips the loop entirely; its real BU seeds the carry so the
         # skip path still returns a valid B@U.
         U, BU0, done0 = _entry_state(
-            U, nu, B, vb, Bvb, BV_norm, eps_ortho, rr_dtype,
+            U, nu, B, vb, Bvb, BV_norm, eps_ortho, eps_drop, rr_dtype,
             indefinite=False,
         )
     else:
@@ -326,7 +341,7 @@ def ortho_indefinite(
     if entry_check:
         # ortho_skip: see ortho_drop — scaled entry test, real BU seed.
         U, BU0, done0 = _entry_state(
-            U, nu, B, vb, Bvb, BV_norm, eps_ortho, rr_dtype,
+            U, nu, B, vb, Bvb, BV_norm, eps_ortho, eps_drop, rr_dtype,
             indefinite=True,
         )
     else:

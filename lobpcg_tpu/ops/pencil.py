@@ -6,10 +6,22 @@ XLA has no nonsymmetric generalized eigensolver, so (SURVEY.md §7 hard
 part 1) this module provides:
 
 - 'cholesky' (default): the Kressner-Pandur-Shao reduction for a
-  Hermitian-definite GA — GA = L L^H, M = L^{-1} GB L^{-H} (Hermitian),
-  eigh(M) = (mu, Q), then lambda = 1/mu, v = L^{-H} Q, and
-  v^H GB v = mu so the signature is sign(mu) for free.  Fully on-device:
-  potrf + 2 trsm + eigh, no host round-trip inside the solver loop.
+  Hermitian-definite GA, implemented via SPECTRAL whitening — for any F
+  with F F^H = GA^{-1} the pencil reduces to the Hermitian eigenproblem
+  M = F^H GB F, eigh(M) = (mu, Q), lambda = 1/mu, v = F Q, and
+  v^H GB v = mu so the signature is sign(mu) for free.  F comes from
+  eigh of the Jacobi-scaled GA (F = D U s^{-1/2}), NOT from
+  chol + trsm: on TPU `jnp.linalg.cholesky` / `solve_triangular` lower
+  to XLA expanders whose internal dots run at DEFAULT precision — bf16
+  passes for f32 operands — which caps the factorable condition number
+  near 1/eps_bf16 and silently destroyed every pencil solve at width
+  768 (measured: 20k x 150 ss=256 f32 ran 300 iterations with 299
+  rr_fails on TPU while the identical solve converges in 10 iterations
+  on CPU; results_r5.jsonl exp d2).  The TPU eigh pins full-f32 matmul
+  precision internally and every congruence here goes through
+  ops.gram.mm (Precision.HIGHEST), so the reduction is now
+  uniformly accurate on both backends.  Fully on-device, no host
+  round-trip inside the solver loop.
   When GA is *indefinite*, a definite-combination ladder (KPS Thm 2.3:
   any definite pencil admits an HPD combination c GA + s GB) retries the
   reduction on C = c GA + s GB over a fixed (c, s) candidate grid and
@@ -28,13 +40,11 @@ sentinels, matching `indefinite_rr_impl.inc:99-108`.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.scipy.linalg import solve_triangular
 
 from lobpcg_tpu.ops.gram import mm, scale_diag
 
@@ -49,16 +59,22 @@ def _sentinel_lambda(num, den, tiny, rdt):
     return jnp.where(ok, lam, sent).astype(rdt)
 
 
-def _kps_reduce(L_safe: jax.Array, GBh: jax.Array, tiny: float):
-    """Shared KPS body: given chol factor L of an HPD C, solve the
-    pencil C v = lam_C GB v.  Returns (lam_C [k] real, V [k,k])."""
+def _kps_reduce(F_safe: jax.Array, GBh: jax.Array, tiny: float):
+    """Shared KPS body: given a whitening factor F with F F^H = C^{-1}
+    for an HPD C, solve the pencil C v = lam_C GB v.  Returns
+    (lam_C [k] real, V [k,k]).
+
+    Derivation: M q = mu q with M = F^H GB F and v = F q gives
+    (F F^H) GB v = mu v, i.e. GB v = mu C v, i.e. C v = (1/mu) GB v;
+    and v^H GB v = q^H M q = mu (the signature for free).  All
+    contractions at Precision.HIGHEST (ops.gram.mm); eigh pins full-f32
+    matmul precision internally on TPU.
+    """
     rdt = jnp.zeros((), GBh.dtype).real.dtype
-    Y = solve_triangular(L_safe, GBh, lower=True)  # L^-1 GB
-    M = solve_triangular(L_safe, Y.conj().T, lower=True).conj().T
+    M = mm(F_safe.conj().T, mm(GBh, F_safe))
     M = 0.5 * (M + M.conj().T)
     mu, Q = jnp.linalg.eigh(M)
-    # v = L^-H q;  C v = (1/mu) GB v;  v^H GB v = mu.
-    V = solve_triangular(L_safe, Q.astype(GBh.dtype), lower=True, trans=2)
+    V = mm(F_safe, Q.astype(GBh.dtype))
     lam_C = _sentinel_lambda(
         jnp.ones_like(mu).astype(GBh.dtype), mu.astype(GBh.dtype), tiny, rdt
     )
@@ -85,36 +101,62 @@ _LADDER_T = (0.0, 0.0, 0.5, -0.5, 0.5, -0.5, 1.0, -1.0, 1.0, -1.0,
              2.0, -2.0, 2.0, -2.0, 4.0, -4.0, 4.0, -4.0)
 
 
-def _chol_scored(M: jax.Array):
-    """Jacobi-scaled Cholesky with a scale-invariant conditioning score.
+def _whiten_scored(M: jax.Array, live=None):
+    """Jacobi-scaled spectral whitening with an exact conditioning score.
 
-    Returns (L, ok, score): L is a Cholesky factor of M itself
-    (recovered from the scaled factor), ok = potrf succeeded, and
-    score = (min diag Ls / max diag Ls)^2 of the SCALED factor — a
-    pivot-decay proxy for rcond(D M D).  Scaling first makes the score
-    invariant to diagonal scaling, so a legitimately wide eigenvalue
-    spread in GA (diag ~ lam spans 1e6 for 1/h^2-scaled operators) does
-    not read as ill-conditioning; failed factorizations score -1.
+    Returns (F, ok, score): F satisfies F F^H = M^{-1} when M is HPD
+    (F = D U s^{-1/2} from eigh(D M D) = U s U^H; scale_diag's D is
+    1/sqrt|diag|), ok = the scaled matrix is positive definite, and
+    score = s_min / s_max — the exact rcond of the SCALED matrix (the
+    Cholesky version used a pivot-decay proxy for the same quantity).
+    Scaling first keeps the score invariant to diagonal scaling, so a
+    legitimately wide eigenvalue spread in GA (diag ~ lam spans 1e6 for
+    1/h^2-scaled operators) does not read as ill-conditioning;
+    non-definite candidates score -1.
+
+    ``live`` (bool mask, or None = all live): DEAD coordinates — exact
+    isolated rows/cols by the inject_diag invariant — are shifted above
+    the live spectrum before the eigh so (a) they cannot mix into live
+    eigenvectors through an accidental degeneracy with a live scaled
+    eigenvalue near +-1 (the sentinel detection downstream reads
+    per-eigenvector dead-coordinate mass, which mixing would smear) and
+    (b) a ladder combination c GA + s GB whose dead diagonal lands
+    negative does not spuriously disqualify an otherwise-definite live
+    block.  ok/score are over LIVE eigenvalues only.
     """
     D, Ms = scale_diag(M)
-    Ls = jnp.linalg.cholesky(Ms)
-    ok = ~jnp.any(jnp.isnan(Ls))
-    dg = jnp.abs(jnp.diagonal(Ls))
-    dg = jnp.where(ok, dg, 1.0)
-    score = jnp.where(
-        ok, (jnp.min(dg) / jnp.max(dg)) ** 2, jnp.asarray(-1.0, dg.dtype)
+    k = M.shape[0]
+    n_dead = None
+    if live is not None:
+        shift = jnp.max(jnp.sum(jnp.abs(Ms), axis=1)).real + 2.0
+        dead_diag = jnp.where(live, 0.0, 1.0).astype(Ms.dtype)
+        # Replace the (possibly negative) dead diagonal outright.
+        Ms = Ms * (1.0 - jnp.diag(dead_diag)) + shift.astype(
+            Ms.dtype
+        ) * jnp.diag(dead_diag)
+        n_dead = jnp.sum(~live).astype(jnp.int32)
+    s, U = jnp.linalg.eigh(Ms)  # ascending; shifted dead at the top
+    rdt = s.dtype
+    s_hi = (
+        s[-1] if n_dead is None
+        else s[jnp.clip(k - 1 - n_dead, 0, k - 1)]
     )
-    # L = D^-1 Ls reproduces M = L L^H (D from scale_diag is 1/sqrt|diag|).
-    L = Ls * (1.0 / D)[:, None].astype(Ls.dtype)
-    return L, ok, score
+    ok = jnp.isfinite(s[0]) & (s[0] > 0) & (s_hi > 0)
+    s_safe = jnp.where(s > 0, s, 1.0)
+    score = jnp.where(ok, s[0] / s_hi, jnp.asarray(-1.0, rdt))
+    F = (D[:, None].astype(U.dtype) * U) * jax.lax.rsqrt(s_safe)[
+        None, :
+    ].astype(U.dtype)
+    return F, ok, score
 
 
-def pencil_eig_cholesky(GA: jax.Array, GB: jax.Array, tiny: float):
+def pencil_eig_cholesky(GA: jax.Array, GB: jax.Array, tiny: float,
+                        live=None):
     """KPS reduction with a definite-combination ladder.
     Returns (lam [k] real, V [k,k], ok scalar bool).
 
     Plain path (HPD GA — true for the BdG family: GA = S^H A S with A SPD
-    and S full column rank) costs one Jacobi-scaled potrf.  When GA is
+    and S full column rank) costs one Jacobi-scaled eigh.  When GA is
     indefinite, or its factor is near the definiteness boundary (scaled
     pivot-decay score below sqrt(eps)), the ladder factors every
     combination C = c GA + s GB and picks the BEST-CONDITIONED definite
@@ -132,17 +174,18 @@ def pencil_eig_cholesky(GA: jax.Array, GB: jax.Array, tiny: float):
     GAh = 0.5 * (GA + GA.conj().T)
     GBh = 0.5 * (GB + GB.conj().T)
 
-    L0, ok0, sc0 = _chol_scored(GAh)
+    F0, ok0, sc0 = _whiten_scored(GAh, live)
     # Healthy fast path: HPD and comfortably conditioned.  sqrt(eps) ~
     # 3.5e-4 (f32) / 1.5e-8 (f64) on the scale-invariant score keeps the
-    # one-potrf path for every well-posed iteration; near-boundary GA
-    # escalates to the scored ladder (which still contains (1, 0), so a
-    # merely-suspicious GA that really is the best candidate wins there).
+    # one-factorization path for every well-posed iteration;
+    # near-boundary GA escalates to the scored ladder (which still
+    # contains (1, 0), so a merely-suspicious GA that really is the best
+    # candidate wins there).
     floor = float(np.sqrt(np.finfo(np.dtype(rdt)).eps))
     good0 = ok0 & (sc0 >= floor)
 
     def plain(_):
-        return L0, jnp.asarray(1.0, rdt), jnp.asarray(0.0, rdt), ok0
+        return F0, jnp.asarray(1.0, rdt), jnp.asarray(0.0, rdt), ok0
 
     def ladder(_):
         nGA = jnp.sqrt(jnp.sum(jnp.abs(GAh) ** 2)).real
@@ -154,13 +197,13 @@ def pencil_eig_cholesky(GA: jax.Array, GB: jax.Array, tiny: float):
             cs[:, None, None].astype(dt) * GAh[None]
             + ss[:, None, None].astype(dt) * GBh[None]
         )
-        Ls, oks, scs = jax.vmap(_chol_scored)(Cs)
+        Fs, oks, scs = jax.vmap(lambda C: _whiten_scored(C, live))(Cs)
         idx = jnp.argmax(scs)  # best-conditioned definite candidate
-        return Ls[idx], cs[idx], ss[idx], jnp.any(oks)
+        return Fs[idx], cs[idx], ss[idx], jnp.any(oks)
 
-    L, c, s, ok = jax.lax.cond(good0, plain, ladder, None)
-    L_safe = jnp.where(ok, L, jnp.eye(k, dtype=dt))
-    lam_C, V = _kps_reduce(L_safe, GBh, tiny)
+    F, c, s, ok = jax.lax.cond(good0, plain, ladder, None)
+    F_safe = jnp.where(ok, F, jnp.eye(k, dtype=dt))
+    lam_C, V = _kps_reduce(F_safe, GBh, tiny)
     # Map back: lam = (lam_C - s) / c; +-BIG sentinels keep sentinel
     # magnitude with the sign they get under division by c = +-1.
     lam = jnp.where(
@@ -209,16 +252,16 @@ def pencil_eig_qz(GA: jax.Array, GB: jax.Array, tiny: float):
 
 
 def pencil_eig(
-    GA: jax.Array, GB: jax.Array, *, method: str, tiny: float
+    GA: jax.Array, GB: jax.Array, *, method: str, tiny: float, live=None
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Dispatch: returns (lam [k] real, V [k,k] raw eigenvectors,
     ok scalar bool — False means the solve failed and outputs are NaN)."""
     if method == "cholesky":
-        return pencil_eig_cholesky(GA, GB, tiny)
+        return pencil_eig_cholesky(GA, GB, tiny, live)
     if method == "qz":
         return pencil_eig_qz(GA, GB, tiny)
     if method == "auto":
-        lam_c, V_c, ok = pencil_eig_cholesky(GA, GB, tiny)
+        lam_c, V_c, ok = pencil_eig_cholesky(GA, GB, tiny, live)
 
         def fallback(_):
             lam_q, V_q, _ = pencil_eig_qz(GA, GB, tiny)

@@ -6,13 +6,20 @@ with the Cholesky/ortho dual path, trcon condition check, and the
 Duersch Alg. 7 Cp extraction).
 
 On-device design notes:
-- Cholesky runs via `jnp.linalg.cholesky`; failure is detected by NaN
-  (XLA potrf emits NaN instead of an info code) and signalled with the
-  reference's `useOrtho = 2` retry flag.
+- The B-Gram whitening transform (the reference's potrf + trsm_run,
+  `rayleigh_ritz_impl.inc:60-75`) is computed SPECTRALLY — eigh of the
+  Jacobi-scaled Gram, DiR = D U s^{-1/2} — never via
+  `jnp.linalg.cholesky`/`solve_triangular`: on TPU those lower to XLA
+  expanders whose internal dots run at DEFAULT precision (bf16 passes
+  for f32), capping the factorable condition number near 1/eps_bf16 —
+  measured destroying every width-768 pencil solve (ops/pencil.py
+  docstring, results_r5.jsonl exp d2).  Non-definiteness (eigh s_min
+  <= 0) is signalled with the reference's `useOrtho = 2` retry flag,
+  exactly like the old potrf-NaN detection.
 - The triangular condition check replaces LAPACK's `trcon` 1-norm
-  *estimator* with the exact 1-norm condition number — the matrix is a
-  tiny k x k triangle, so an exact triangular solve is cheaper on TPU
-  than a host round-trip.
+  *estimator* with the exact spectral rcond of the scaled Gram
+  (sqrt(s_min/s_max) — the same quantity trcon estimates for the
+  triangular factor), a free by-product of the whitening eigh.
 - Dead subspace coordinates (masked P/W columns, see ops.masking) carry
   identity in the B-Gram and a large sentinel in the (transformed) A-Gram
   so their Ritz pairs sort to the top end and never pollute the lowest nx.
@@ -24,7 +31,6 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import solve_triangular
 
 from lobpcg_tpu.ops import masking
 from lobpcg_tpu.ops.gram import (
@@ -50,23 +56,83 @@ class RRResult(NamedTuple):
     # reference's nretain bookkeeping, `rayleigh_ritz_modified_impl.inc:56`)
 
 
-def _dinv_r(L, D):
-    """D_inv_R = D * inv(R) with R = L^H (the reference's trsm_run step,
-    `rayleigh_ritz_impl.inc:67-75`).  Computed as (inv(L) @ diag(D))^H."""
-    rhs = jnp.diag(D).astype(L.dtype)
-    return solve_triangular(L, rhs, lower=True).conj().T
+def _whiten_block(M):
+    """Spectral whitening of ONE Hermitian block: F = D U s^{-1/2} from
+    eigh(D M D) = U s U^H satisfies F^H M F = I when M is HPD.  Stays
+    full-precision on TPU where the cholesky/triangular-solve expanders
+    emit default-precision (bf16) dots (see ops.pencil._whiten_scored).
+
+    Dead coordinates (exactly isolated identity rows/cols by the
+    inject_diag invariant) are ordinary unit eigendirections of the
+    scaled block here; the eigensolver may mix them with live
+    directions at an accidental s ~ 1 degeneracy, which is fine —
+    the chol_branch plants its dead sentinels in PENCIL form (see
+    there), which is alignment-indifferent.
+
+    Returns (F, ok, s_min, s_max) over the full scaled spectrum —
+    matching the old Cholesky pivot score's accounting, where dead
+    pivots contributed exactly 1.
+    """
+    D, Ms = _scale_diag(M)
+    s, U = jnp.linalg.eigh(Ms)  # ascending
+    ok = jnp.isfinite(s[0]) & (s[0] > 0) & (s[-1] > 0)
+    s_safe = jnp.where(s > 0, s, 1.0)
+    F = (D[:, None].astype(U.dtype) * U) * jax.lax.rsqrt(s_safe)[
+        None, :
+    ].astype(U.dtype)
+    return F, ok, s_safe[0], s_safe[-1]
 
 
-def _rcond_upper_from_L(L):
-    """Exact 1-norm reciprocal condition of R = L^H (replaces trcon's
-    estimator, `rayleigh_ritz_modified_impl.inc:168-178`)."""
-    k = L.shape[0]
-    eye = jnp.eye(k, dtype=L.dtype)
-    Linv = solve_triangular(L, eye, lower=True)
-    # ||R||_1 = max column abs-sum of L^H = max row abs-sum of L.
-    norm_R = jnp.max(jnp.sum(jnp.abs(L), axis=1))
-    norm_Rinv = jnp.max(jnp.sum(jnp.abs(Linv), axis=1))
-    return 1.0 / (norm_R * norm_Rinv)
+def _block_dinv_r(G, nx: int):
+    """Whitening transform for the B-Gram over [X | P W]: DiR with
+    DiR^H G DiR = I, BLOCK-upper-triangular with the block boundary at
+    nx (block Gram-Schmidt: whiten the X block, B-orthogonalize the
+    [P W] complement against it via the Schur complement, whiten that).
+
+    Replaces the reference's potrf + trsm_run pipeline
+    (`rayleigh_ritz_impl.inc:60-75`) without jnp.linalg.cholesky /
+    solve_triangular — on TPU those lower to XLA expanders whose
+    internal dots run at DEFAULT precision (bf16 for f32 operands),
+    capping the factorable condition number near 1/eps_bf16 (measured
+    killing every width-768 pencil solve, ops/pencil.py docstring).
+
+    The block-triangular structure is LOAD-BEARING, not cosmetic:
+    Duersch's Cp extraction (_cp_extract) reads the first nx rows of
+    the H-eigenvectors as "X-content", which is only meaningful when
+    the first nx whitened basis vectors span exactly span(X).  A fully
+    mixing spectral whitening of the whole Gram makes Cp a rotation of
+    the unwanted subspace that keeps X components in P, and the
+    three-term recurrence measurably stalls (n=256 f64 repro: 134
+    iterations with the triangular factor -> no convergence in 300
+    with full spectral mixing).  Mixing WITHIN the trailing [P W]
+    block is harmless — the extraction uses no finer structure, and
+    dead-coordinate sentinels are planted in alignment-indifferent
+    pencil form by the caller.
+
+    Returns (DiR [k,k], ok bool, rcond real): ok = both stages
+    positive definite (the potrf-succeeded analog); rcond =
+    sqrt(min stage s_min / max stage s_max), on the scale of the
+    triangular-factor rcond the reference's trcon check thresholds
+    with tol_skip (`rayleigh_ritz_modified_impl.inc:168-178`).
+    """
+    k = G.shape[0]
+    Fx, ok1, s1_lo, s1_hi = _whiten_block(G[:nx, :nx])  # X: always live
+    E = mm(Fx.conj().T, G[:nx, nx:])  # whitened-X cross coefficients
+    Sc = G[nx:, nx:] - mm(E.conj().T, E)  # Schur complement
+    Sc = 0.5 * (Sc + Sc.conj().T)
+    Fs, ok2, s2_lo, s2_hi = _whiten_block(Sc)
+    top = jnp.concatenate([Fx, -mm(Fx, mm(E, Fs))], axis=1)
+    bot = jnp.concatenate(
+        [jnp.zeros((k - nx, nx), Fs.dtype), Fs], axis=1
+    )
+    DiR = jnp.concatenate([top, bot], axis=0)
+    ok = ok1 & ok2
+    rcond = jnp.where(
+        ok,
+        jnp.sqrt(jnp.minimum(s1_lo, s2_lo) / jnp.maximum(s1_hi, s2_hi)),
+        jnp.asarray(0.0, s1_lo.real.dtype),
+    )
+    return DiR, ok, rcond
 
 
 def _sentinel(H, live):
@@ -101,6 +167,19 @@ def _cp_extract(Z, nx: int, DiR: Optional[jax.Array], n_live):
     p_count = jnp.clip(n_live - nx, 0, nx).astype(jnp.int32)
     Zp = masking.mask_cols(Zp, zp_live)
     Z1t = jnp.swapaxes(Zp[:nx, :], 0, 1)  # [k-nx, nx]
+    # jnp.linalg.qr is DELIBERATE here despite its TPU default-precision
+    # (bf16) internal dots — unlike the whitening transforms (see
+    # _block_dinv_r), Q's orthonormality is not load-bearing: P is never
+    # assumed orthonormal downstream (the next RR's Gram whitening
+    # absorbs its conditioning), so bf16-level orthogonality error only
+    # perturbs the momentum directions slightly.  A Gram-eigh
+    # orthonormalization was tried instead and is WORSE: for a
+    # rank-deficient Z1t (late-stage W ~ 0) it rsqrt-amplifies
+    # roundoff-level eigendirections into junk unit-norm live P columns
+    # whose Ritz values are spurious near-zeros (measured: f64
+    # generalized-pencil solves "converged" to three ~1e-14 eigenvalues),
+    # where QR's completion columns are at least exactly orthonormal
+    # and act as harmless noise directions.
     Q, _ = jnp.linalg.qr(Z1t)
     Cp = mm(Zp, Q)
     if DiR is not None:
@@ -122,9 +201,13 @@ def rayleigh_ritz(
     runs in it; Cx is cast back to X's dtype, lam stays high.
     """
     G = gram_self(X, B, out_dtype=rr_dtype)
-    D, Gs = _scale_diag(G)
-    L = jnp.linalg.cholesky(Gs)
-    DiR = _dinv_r(L, D)
+    # Single full-width block: no Cp extraction downstream, so the plain
+    # (fully mixing) spectral whitening is fine here.
+    DiR, def_ok, _, _ = _whiten_block(G)
+    # Old-potrf parity: a non-definite start Gram poisons the outputs
+    # visibly (the public drivers B-orthonormalize X first, so this only
+    # fires on a rank-deficient user-supplied basis).
+    DiR = jnp.where(def_ok, DiR, jnp.asarray(jnp.nan, DiR.dtype))
     Ap = gram_self(X, A, out_dtype=rr_dtype)
     T1 = mm(Ap, DiR)
     H = mm(DiR.conj().T, T1)
@@ -210,18 +293,29 @@ def rayleigh_ritz_modified(
             else gram_blocks_pre(blocks, Bblocks, out_dtype=rr_dtype)
         )
         GB = masking.inject_diag(GB, live, 1.0)
-        D, Gs = _scale_diag(GB)
-        L = jnp.linalg.cholesky(Gs)
-        chol_ok = ~jnp.any(jnp.isnan(L))
-        # Guard NaNs out of the triangular solves so rcond stays finite.
-        L_safe = jnp.where(chol_ok, L, jnp.eye(k, dtype=L.dtype))
-        rcond = _rcond_upper_from_L(L_safe)
-        ok = chol_ok & (rcond >= tol_skip)
-
-        DiR = _dinv_r(L_safe, D)
+        DiR, def_ok, rcond = _block_dinv_r(GB, nx)
+        ok = def_ok & (rcond >= tol_skip)
+        # Guard the non-definite case so downstream stays finite (the
+        # flag=2 retry discards this branch's outputs anyway).
+        DiR = jnp.where(def_ok, DiR, jnp.eye(k, dtype=DiR.dtype))
         T1 = mm(GA, DiR)
         H = mm(DiR.conj().T, T1)
-        H = _sentinel(H, live)
+        H = 0.5 * (H + H.conj().T)
+        # Dead-coordinate sentinels in PENCIL form: after a (possibly
+        # coordinate-mixing) spectral whitening the dead directions are
+        # no longer coordinate-aligned in H, so inject_diag on H would
+        # hit the wrong entries.  Instead GA + big * P_dead gives every
+        # dead pencil pair eigenvalue exactly `big` (GB's dead diagonal
+        # is exactly 1 and DiR whitens GB on all coordinates), i.e.
+        # H' = H + big * K^H K with K = the dead ROWS of DiR.  big is
+        # a Gershgorin bound off the ACTUAL H — strictly above every
+        # live Ritz value, never overflowing (an a-priori ||DiR||^2
+        # amplification bound measured up to ~1e34 and overflowed f32).
+        gersh = jnp.max(jnp.sum(jnp.abs(H), axis=1)).real
+        big = (2.0 * gersh + 1.0).astype(H.dtype)
+        dead_rows = jnp.where(live, 0.0, 1.0).astype(DiR.dtype)
+        K = DiR * dead_rows[:, None]
+        H = H + big * mm(K.conj().T, K)
         w, Z = jnp.linalg.eigh(H)
         Cx = mm(DiR, Z[:, :nx])
         lam = w[:nx]

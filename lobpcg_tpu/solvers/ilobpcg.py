@@ -45,7 +45,10 @@ from lobpcg_tpu.ops.residual import (
 )
 from lobpcg_tpu.ops.svqb import robust_basis_init, svqb
 from lobpcg_tpu.solvers import observe
-from lobpcg_tpu.solvers.lobpcg import _prepare_p0
+from lobpcg_tpu.solvers.lobpcg import (
+    _check_rr_chunk_unsharded,
+    _prepare_p0,
+)
 from lobpcg_tpu.solvers.state import ILOBPCGResult
 from lobpcg_tpu.utils.prng import fill_random
 
@@ -387,6 +390,7 @@ def ilobpcg(
         raise ValueError(
             f"it_cap ({it_cap}) > config.max_iter ({config.max_iter})"
         )
+    _check_rr_chunk_unsharded(config, A, X0, B, T)
     P0, p0_cnt = _prepare_p0(P0, A, config)
     fn = _ilobpcg_jit_donate if donate else _ilobpcg_jit
     from lobpcg_tpu.ops import gram

@@ -344,6 +344,43 @@ def _prepare_p0(P0, A, config):
     return P0, p0_cnt
 
 
+def _check_rr_chunk_unsharded(config: SolverConfig, *objs) -> None:
+    """rr_chunk_rows row-chunks widened Gram contractions via an
+    [n, k] -> [n/c, c, k] reshape, which conflicts with a leading axis
+    sharded over more than one device (GSPMD must gather or repartition
+    the tall blocks at every chunked contraction).  Raise up front
+    instead of tracing a silently catastrophic program (ADVICE r4).
+    Only concrete arrays can be inspected; tracer inputs skip the check.
+    """
+    if not config.rr_chunk_rows:
+        return
+    for obj in objs:
+        if obj is None:
+            continue
+        for leaf in jax.tree_util.tree_leaves(obj):
+            sh = getattr(leaf, "sharding", None)
+            shape = getattr(leaf, "shape", ())
+            if sh is None or not shape:
+                continue
+            try:
+                row_sharded = (
+                    len(sh.device_set) > 1
+                    and sh.shard_shape(tuple(shape))[0] != shape[0]
+                )
+            except Exception:  # noqa: BLE001 - abstract shardings: skip
+                continue
+            if row_sharded:
+                raise ValueError(
+                    "rr_chunk_rows is set but an input is row-sharded "
+                    f"over {len(sh.device_set)} devices (leaf shape "
+                    f"{tuple(shape)}): the chunking reshape conflicts "
+                    "with a sharded leading axis.  Unset rr_chunk_rows "
+                    "for sharded solves — the psum'd distributed Grams "
+                    "do not hit the single-chip f64-emulation operand "
+                    "splits it exists to bound."
+                )
+
+
 def lobpcg(
     A: LinearOperator,
     X0: Optional[jax.Array] = None,
@@ -399,6 +436,7 @@ def lobpcg(
         raise ValueError(
             f"it_cap ({it_cap}) > config.max_iter ({config.max_iter})"
         )
+    _check_rr_chunk_unsharded(config, A, X0, B, T)
     P0, p0_cnt = _prepare_p0(P0, A, config)
     fn = _lobpcg_jit_donate if donate else _lobpcg_jit
     from lobpcg_tpu.ops import gram

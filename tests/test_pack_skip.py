@@ -205,3 +205,28 @@ def test_ilobpcg_ortho_skip_parity(skip):
     np.testing.assert_allclose(
         np.asarray(r.eigenvalues), analytic, rtol=1e-2
     )
+
+
+def test_entry_check_floor_blocks_degenerate_column_skip():
+    """A near-B-null column must NOT skip (ADVICE r4): the 1/sqrt|G_ii|
+    scaling would amplify it past the SVQB eps_drop machinery."""
+    from lobpcg_tpu.ops.gram import as_blocks, frob_norm
+    from lobpcg_tpu.ops.ortho import _entry_state, _guard
+
+    n, kv, ku = 64, 4, 3
+    V = jnp.linalg.qr(rand_block(1, n, kv, jnp.float64))[0]
+    full = jnp.linalg.qr(rand_block(2, n, kv + ku, jnp.float64))[0]
+    U0 = full[:, kv:]
+    U0 = U0 - V @ (V.T @ U0)
+    U0 = jnp.linalg.qr(U0)[0]
+    vb = as_blocks(V, ku)
+    bvn = _guard(frob_norm(V), 1e-10)
+    for scales, expect in (
+        (jnp.asarray([2.0, 0.5, 7.0]), True),     # healthy: skips
+        (jnp.asarray([2.0, 1e-9, 7.0]), False),   # degenerate: floor trips
+    ):
+        _, _, skip = _entry_state(
+            U0 * scales, 3, None, vb, None, bvn, 1e-8, 1e-10, None,
+            indefinite=False,
+        )
+        assert bool(skip) == expect, scales

@@ -99,3 +99,59 @@ def test_rrm_chol_failure_flags_retry():
         S, None, jnp.int32(1), jnp.int32(1), jnp.int32(0), A, None, nx=m
     )
     assert int(rr.flag) == 2
+
+
+def test_block_dinv_r_whitening_invariants():
+    """The spectral block whitening must (a) whiten the full Gram,
+    (b) be exactly block-upper-triangular at the nx boundary (the
+    structural property Duersch's Cp extraction needs), and (c) report
+    a 2-norm-scale rcond."""
+    from lobpcg_tpu.ops.rayleigh import _block_dinv_r
+    from lobpcg_tpu.ops import masking
+
+    rng = np.random.RandomState(3)
+    k, nx = 15, 5
+    M = rng.randn(k, k)
+    G = M @ M.T + k * np.eye(k)
+    live = masking.blocks_mask((5, 5, 5), (5, 2, 4))  # partial P/W masks
+    G = np.asarray(masking.inject_diag(jnp.asarray(G), live, 1.0))
+    DiR, ok, rcond = _block_dinv_r(jnp.asarray(G), nx)
+    DiR = np.asarray(DiR)
+    assert bool(ok)
+    np.testing.assert_allclose(DiR.T @ G @ DiR, np.eye(k), atol=1e-12)
+    np.testing.assert_array_equal(DiR[nx:, :nx], 0.0)
+    s = np.linalg.eigvalsh((G * np.outer(1/np.sqrt(np.diag(G)),
+                                         1/np.sqrt(np.diag(G)))))
+    assert 0.1 * np.sqrt(s[0] / s[-1]) < float(rcond) < 10.0
+
+
+def test_chol_branch_pencil_sentinels_keep_dead_out():
+    """With dead P/W coordinates, the chol branch's pencil-form
+    sentinels must keep dead directions out of the lowest-nx Ritz
+    pairs (no spurious near-zero eigenvalues), even though the
+    spectral whitening may mix dead coordinates."""
+    from lobpcg_tpu.ops.rayleigh import rayleigh_ritz_modified
+    from fixtures import dense_op
+
+    rng = np.random.RandomState(4)
+    n, m = 60, 5
+    Am = rng.randn(n, n)
+    Am = Am @ Am.T + n * np.eye(n)
+    A = dense_op(Am, jnp.float64)
+    X = np.linalg.qr(rng.randn(n, m))[0]
+    P = np.zeros((n, m))
+    P[:, :2] = np.linalg.qr(rng.randn(n, 2))[0]  # 2 live P cols, 3 dead
+    W = np.zeros((n, m))
+    W[:, :4] = rng.randn(n, 4)  # 4 live W cols, 1 dead
+    rr = rayleigh_ritz_modified(
+        (jnp.asarray(X), jnp.asarray(P), jnp.asarray(W)),
+        None, jnp.int32(2), jnp.int32(4), jnp.int32(0), A, None, nx=m,
+    )
+    lam = np.asarray(rr.lam)
+    exact = np.linalg.eigvalsh(Am)
+    # All nx Ritz values are genuine (within the matrix spectrum and
+    # above the smallest true eigenvalue), none are dead-coordinate
+    # artifacts at ~0 or at the sentinel magnitude.
+    assert int(rr.flag) in (0, 1)
+    assert np.all(lam >= exact[0] - 1e-8), lam
+    assert np.all(lam <= exact[-1] + 1e-8), lam

@@ -146,3 +146,25 @@ def test_realify_rejects_truly_complex_scalars():
                 jnp.asarray([1.0 + 1.0j, 2.0], jnp.complex128)
             )
         )
+
+
+def test_shardwise_x0_matches_realify_x0():
+    """The complex headline gate's shard-by-shard start-block builder
+    (__graft_entry__._realified_duplicated_rows) must reproduce
+    realify_x0(concat([u, u])) exactly, in arbitrary row windows."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    from __graft_entry__ import _realified_duplicated_rows
+
+    m, k = 12, 3
+    rng = np.random.RandomState(7)
+    ur = rng.uniform(-0.5, 0.5, size=(m, k)).astype(np.float32)
+    ui = rng.uniform(-0.5, 0.5, size=(m, k)).astype(np.float32)
+    u = (ur + 1j * ui).astype(np.complex64)
+    X0c = jnp.asarray(np.concatenate([u, u], axis=0))
+    ref = np.asarray(realify_x0(X0c, jnp.float32))
+    for r0, r1 in ((0, 4 * m), (0, 7), (5, 29), (2 * m, 4 * m), (47, 48)):
+        got = _realified_duplicated_rows(ur, ui, r0, r1)
+        np.testing.assert_array_equal(got, ref[r0:r1])
